@@ -1,0 +1,73 @@
+"""Benchmark: fused VISinger GAN train-step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is mel-frames/s/chip for the full train step (generator fwd+bwd+update
+plus discriminator fwd+bwd+update — two backward passes per step, same as the
+reference's two-optimizer loop, tasks/visinger.py:53-89).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md).  We normalize
+against an estimated reference PyTorch single-GPU throughput of 8000
+mel-frames/s (batch 4 x ~900 avg frames at ~2.2 it/s on an A100-class part —
+an assumption to be replaced by a measured torch-CPU-extrapolated or reported
+figure in later rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from visinger_tpu.config import load_config
+from visinger_tpu.data.synthetic import synthetic_batch
+from visinger_tpu.models.factory import build_models, init_state
+from visinger_tpu.training.train_step import make_train_step
+
+REFERENCE_MEL_FRAMES_PER_S = 8000.0  # documented assumption, see module docstring
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", 4))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 640))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", 192))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    cfg = load_config(name="visinger_csd")
+    raw = synthetic_batch(batch_size, n_tokens, n_frames, vocab=60,
+                          pitch_vocab=117, dur_vocab=98,
+                          num_linear_bins=cfg.num_linear_bins,
+                          hop_size=cfg.hop_size)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    model, disc = build_models(cfg, ph_vocab=60, pitch_vocab=117, dur_vocab=98)
+    state = init_state(cfg, model, disc, batch)
+    step_fn = jax.jit(make_train_step(cfg, model, disc), donate_argnums=(0,))
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(state)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    median = times[len(times) // 2]
+    mel_frames_per_s = batch_size * n_frames / median
+    print(json.dumps({
+        "metric": "train_mel_frames_per_s_per_chip",
+        "value": round(mel_frames_per_s, 1),
+        "unit": "mel-frames/s/chip",
+        "vs_baseline": round(mel_frames_per_s / REFERENCE_MEL_FRAMES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

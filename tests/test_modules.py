@@ -1,0 +1,134 @@
+"""Module-level unit tests: shapes, invariants, and the flow invertibility
+checks the reference lacks (SURVEY.md §4 implication (a))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visinger_tpu.modules.common import (
+    ChannelLayerNorm,
+    Conv1d,
+    ConvTranspose1d,
+    positional_embedding,
+    sinusoidal_table,
+)
+from visinger_tpu.modules.discriminator import MultiPeriodDiscriminator
+from visinger_tpu.modules.flow import ResidualCouplingBlock
+from visinger_tpu.modules.hifigan import HiFiGANGenerator
+from visinger_tpu.modules.transformer import RelativeEncoder
+from visinger_tpu.modules.wavenet import WaveNet
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_conv1d_same_length_and_weight_norm():
+    x = jnp.ones((2, 17, 8))
+    for k, d in [(1, 1), (3, 1), (5, 2), (9, 1), (3, 5)]:
+        m = Conv1d(12, k, dilation=d, weight_norm=True)
+        p = m.init(KEY, x)
+        y = m.apply(p, x)
+        assert y.shape == (2, 17, 12), (k, d)
+    # weight-norm init is function-preserving: g == ||v||
+    m = Conv1d(4, 3, weight_norm=True)
+    p = m.init(KEY, x)["params"]
+    v = p["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(p["g"]),
+        np.sqrt(np.sum(np.asarray(v) ** 2, axis=(0, 1)) + 1e-12),
+        rtol=1e-6,
+    )
+
+
+def test_conv_transpose_lengths():
+    for k, u in [(11, 5), (7, 3), (4, 2)]:
+        x = jnp.ones((2, 13, 6))
+        m = ConvTranspose1d(4, k, u)
+        y = m.apply(m.init(KEY, x), x)
+        assert y.shape == (2, 13 * u, 4), (k, u)
+
+
+def test_channel_layer_norm_normalizes():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16).astype(np.float32)) * 3 + 1
+    m = ChannelLayerNorm()
+    y = m.apply(m.init(KEY, x), x)
+    np.testing.assert_allclose(np.asarray(y.mean(-1)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y.std(-1)), 1.0, atol=1e-2)
+
+
+def test_positional_embedding_padding_is_zero():
+    mask = jnp.asarray([[1, 1, 1, 0, 0]], dtype=jnp.float32)
+    pe = positional_embedding(mask, 16)
+    assert pe.shape == (1, 5, 16)
+    np.testing.assert_allclose(np.asarray(pe[0, 3:]), 0.0)
+    # first two valid positions differ
+    assert np.abs(np.asarray(pe[0, 0] - pe[0, 1])).max() > 1e-3
+    # table row 0 is the padding row
+    assert (sinusoidal_table(8, 16)[0] == 0).all()
+
+
+def test_relative_encoder_masked_output():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 16).astype(np.float32))
+    mask = jnp.asarray(
+        np.concatenate([np.ones((2, 7, 1)), np.zeros((2, 3, 1))], 1), jnp.float32)
+    m = RelativeEncoder(16, 32, 2, 2, kernel_size=3)
+    y = m.apply(m.init(KEY, x, mask), x, mask)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y[:, 7:]), 0.0, atol=1e-6)
+    # conditioning path: g of shape [B, 1, gin]
+    g = jnp.ones((2, 1, 8))
+    mg = RelativeEncoder(16, 32, 2, 2, kernel_size=3)
+    pg = mg.init(KEY, x, mask, g)
+    yg = mg.apply(pg, x, mask, g)
+    assert yg.shape == x.shape
+
+
+def test_wavenet_shapes_and_mask():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 16).astype(np.float32))
+    mask = jnp.ones((2, 12, 1))
+    g = jnp.ones((2, 1, 8))
+    m = WaveNet(16, kernel_size=5, n_layers=3, gin_channels=8)
+    y = m.apply(m.init(KEY, x, mask, g), x, mask, g)
+    assert y.shape == x.shape
+
+
+def test_flow_invertibility():
+    """flow_reverse(flow_forward(x)) == x — the core flow invariant."""
+    c = 16
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, c).astype(np.float32))
+    mask = jnp.ones((2, 20, 1))
+    g = jnp.asarray(np.random.RandomState(1).randn(2, 1, 8).astype(np.float32))
+    m = ResidualCouplingBlock(c, c, 5, 1, 2, n_flows=4, gin_channels=8)
+    params = m.init(KEY, x, mask, g)
+    # zero-init post conv => identity at init; perturb to make it non-trivial
+    params = jax.tree.map(
+        lambda p: p + 0.05 * np.random.RandomState(2).randn(*p.shape).astype(np.float32),
+        params)
+    z = m.apply(params, x, mask, g, reverse=False)
+    x_rec = m.apply(params, z, mask, g, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), rtol=1e-4, atol=1e-4)
+    # at (unperturbed) init the flow is the identity up to channel flips
+    params0 = m.init(KEY, x, mask, g)
+    z0 = m.apply(params0, x, mask, g, reverse=False)
+    assert np.abs(np.asarray(z0)).max() > 0
+
+
+def test_hifigan_upsamples_to_hop():
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 16).astype(np.float32))
+    m = HiFiGANGenerator(upsample_initial_channel=32, gin_channels=8)
+    g = jnp.ones((1, 1, 8))
+    y = m.apply(m.init(KEY, x, g), x, g)
+    assert y.shape == (1, 8 * 300)
+    assert np.abs(np.asarray(y)).max() <= 1.0  # tanh-bounded
+
+
+def test_discriminators_output_scores_and_fmaps():
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 2400).astype(np.float32))
+    m = MultiPeriodDiscriminator(periods=(2, 3))
+    p = m.init(KEY, wav, wav)
+    rs, gs, fr, fg = m.apply(p, wav, wav)
+    assert len(rs) == len(gs) == 3  # 1 scale + 2 period
+    assert len(fr[0]) == 7  # DiscriminatorS: 6 convs + post
+    assert len(fr[1]) == 6  # DiscriminatorP: 5 convs + post
+    for r in rs:
+        assert r.shape[0] == 2 and r.ndim == 2

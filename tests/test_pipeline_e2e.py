@@ -1,0 +1,95 @@
+"""End-to-end data pipeline: synthetic corpus -> binarize -> dataset ->
+one fused train step.  The e2e slice of SURVEY.md §7 step 7."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from visinger_tpu.data.binarizer import Binarizer
+from visinger_tpu.data.dataset import VISingerDataset, batch_by_size
+from visinger_tpu.data.synthetic_corpus import generate_corpus
+from visinger_tpu.models.factory import build_models, init_state, tiny_config
+from visinger_tpu.training.train_step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    processed = str(root / "processed")
+    binary = str(root / "binary")
+    generate_corpus(processed, n_items=6, seed=0)
+    cfg = tiny_config().replace(
+        processed_data_dir=processed,
+        binary_data_dir=binary,
+        frame_buckets=[64, 128, 192, 256, 320, 384, 448, 512],
+        token_buckets=[16, 32, 48, 64],
+        max_frames=512,
+    )
+    cfg = cfg.replace(binarization_args=cfg.binarization_args.to_dict() | {
+        "train_range": [2, -1], "valid_range": [1, 2], "test_range": [0, 1],
+        "min_text": 2,
+    })
+    Binarizer(cfg).process()
+    return cfg, binary
+
+
+def test_binarizer_outputs(corpus):
+    cfg, binary = corpus
+    lengths = np.load(f"{binary}/train_lengths.npy")
+    assert len(lengths) >= 3
+    with open(f"{binary}/pitch_map.json") as f:
+        pitch_map = json.load(f)
+    assert pitch_map["0"] == 0 and pitch_map["12"] == 1
+
+
+def test_dataset_batches_static_shapes(corpus):
+    cfg, _ = corpus
+    ds = VISingerDataset(cfg, "train")
+    assert len(ds) >= 1
+    item = ds[0]
+    t = len(item["mel2ph"])
+    assert len(item["f0"]) == t and len(item["uv"]) == t
+    assert len(item["wav"]) >= t * cfg.hop_size
+    assert (item["mel2ph"] > 0).all()
+    # tokens: ph/pitch/dur counts must match (the concat-embedding contract)
+    assert len(item["text_tokens"]) == len(item["note_pitch"]) == len(item["note_dur"])
+    batches = list(ds.batches(shuffle=False))
+    for b in batches:
+        assert b["mel2ph"].shape[1] in cfg.frame_buckets
+        assert b["text_tokens"].shape[1] in cfg.token_buckets
+        assert b["wavs"].shape[1] == b["mel2ph"].shape[1] * cfg.hop_size
+        assert b["wavs"].shape[0] == cfg.max_sentences
+
+
+def test_batch_by_size_budgets():
+    lengths = np.asarray([10, 20, 30, 40, 50, 60])
+    batches = batch_by_size(lengths, max_tokens=100, max_sentences=3)
+    seen = sorted(int(i) for b in batches for i in b)
+    assert seen == list(range(6))
+    for b in batches:
+        mx = max(lengths[i] for i in b)
+        assert mx * len(b) <= 100 and len(b) <= 3
+
+
+def test_train_step_on_real_pipeline_batch(corpus):
+    cfg, _ = corpus
+    ds = VISingerDataset(cfg, "train")
+    batch = next(ds.batches(shuffle=False))
+    import jax.numpy as jnp
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    with open(f"{cfg.binary_data_dir}/pitch_map.json") as f:
+        pv = len(json.load(f))
+    with open(f"{cfg.binary_data_dir}/dur_map.json") as f:
+        dv = len(json.load(f))
+    from visinger_tpu.utils.text.token_encoder import build_token_encoder
+
+    enc = build_token_encoder(f"{cfg.binary_data_dir}/phone_set.json")
+    model, disc = build_models(cfg, ph_vocab=len(enc), pitch_vocab=pv, dur_vocab=dv)
+    state = init_state(cfg, model, disc, jb)
+    step_fn = jax.jit(make_train_step(cfg, model, disc))
+    state, metrics = step_fn(state, jb)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))

@@ -1,0 +1,152 @@
+"""Online dataset: binarized records -> static-shape padded batches.
+
+Parity target: reference VISingerDataset + batch_by_size token bucketing
+(tasks/dataset_utils.py:98-208, utils/commons/dataset_utils.py:69-150) with
+the TPU-required change: batches are padded to a fixed set of (frame, token)
+bucket edges so jit compiles a small number of programs instead of one per
+ragged shape (SURVEY.md §7 "hard parts": dynamic shapes).
+
+Each record (see binarizer.py) holds token sequences, mel2ph, f0, and the
+raw waveform.  The linear spectrogram is NOT computed here — the train step
+computes it on device (training/train_step.py).
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from visinger_tpu.data.record_store import RecordReader
+from visinger_tpu.utils.audio.pitch import norm_interp_f0
+
+
+def _bucket_edge(value: int, buckets: Sequence[int]) -> int:
+    i = bisect.bisect_left(buckets, value)
+    if i == len(buckets):
+        raise ValueError(f"length {value} exceeds largest bucket {buckets[-1]}")
+    return buckets[i]
+
+
+def batch_by_size(lengths: np.ndarray, max_tokens: int, max_sentences: int,
+                  indices: np.ndarray | None = None) -> list[np.ndarray]:
+    """fairseq-style token bucketing (dataset_utils.py:69-116): size-sorted
+    indices greedily grouped under a frames-per-batch and sentences-per-batch
+    budget (budget counts the max length in the batch times batch size)."""
+    if indices is None:
+        indices = np.argsort(lengths, kind="mergesort")
+    batches, cur, cur_max = [], [], 0
+    for idx in indices:
+        n = int(lengths[idx])
+        new_max = max(cur_max, n)
+        if cur and (len(cur) + 1 > max_sentences
+                    or new_max * (len(cur) + 1) > max_tokens):
+            batches.append(np.asarray(cur))
+            cur, cur_max = [], 0
+        cur.append(int(idx))
+        cur_max = max(cur_max, n)
+    if cur:
+        batches.append(np.asarray(cur))
+    return batches
+
+
+class VISingerDataset:
+    """Random-access view over a binarized split."""
+
+    def __init__(self, cfg, prefix: str, data_dir: str | None = None):
+        self.cfg = cfg
+        data_dir = data_dir or cfg.binary_data_dir
+        self.reader = RecordReader(f"{data_dir}/{prefix}")
+        self.lengths = np.load(f"{data_dir}/{prefix}_lengths.npy")
+        self.hop_size = cfg.hop_size
+        seg = cfg.segment_size
+        max_frames = cfg.max_frames
+        self.keep = np.where((self.lengths > seg) & (self.lengths <= max_frames))[0]
+
+    def __len__(self) -> int:
+        return len(self.keep)
+
+    def item_length(self, i: int) -> int:
+        return int(self.lengths[self.keep[i]])
+
+    def __getitem__(self, i: int) -> dict:
+        item = self.reader[int(self.keep[i])]
+        t = len(item["mel2ph"])
+        f0, uv = norm_interp_f0(np.asarray(item["f0"][:t], np.float64))
+        return {
+            "item_name": item.get("item_name", str(i)),
+            "text_tokens": np.asarray(item["ph_token"], np.int32),
+            "note_pitch": np.asarray(item["note_pitch"], np.int32),
+            "note_dur": np.asarray(item["note_dur"], np.int32),
+            "mel2ph": np.asarray(item["mel2ph"], np.int32),
+            "f0": f0,
+            "uv": uv,
+            "wav": np.asarray(item["wav"], np.float32),
+            "spk_id": int(item.get("spk_id", 0)),
+        }
+
+    # ------------------------------------------------------------------
+    def collate(self, items: list[dict], frame_buckets=None, token_buckets=None) -> dict:
+        cfg = self.cfg
+        frame_buckets = frame_buckets or list(cfg.frame_buckets)
+        token_buckets = token_buckets or list(cfg.token_buckets)
+        b = len(items)
+        t = _bucket_edge(max(len(it["mel2ph"]) for it in items), frame_buckets)
+        n = _bucket_edge(max(len(it["text_tokens"]) for it in items), token_buckets)
+        hop = self.hop_size
+
+        batch = {
+            "text_tokens": np.zeros((b, n), np.int32),
+            "note_pitch": np.zeros((b, n), np.int32),
+            "note_dur": np.zeros((b, n), np.int32),
+            "text_lengths": np.zeros((b,), np.int32),
+            "mel2ph": np.zeros((b, t), np.int32),
+            "mel_lengths": np.zeros((b,), np.int32),
+            "f0": np.zeros((b, t), np.float32),
+            "uv": np.zeros((b, t), np.float32),
+            "wavs": np.zeros((b, t * hop), np.float32),
+            "spk_ids": np.zeros((b,), np.int32),
+        }
+        for i, it in enumerate(items):
+            nl, tl = len(it["text_tokens"]), len(it["mel2ph"])
+            batch["text_tokens"][i, :nl] = it["text_tokens"]
+            batch["note_pitch"][i, :nl] = it["note_pitch"][:nl]
+            batch["note_dur"][i, :nl] = it["note_dur"][:nl]
+            batch["text_lengths"][i] = nl
+            batch["mel2ph"][i, :tl] = it["mel2ph"]
+            batch["mel_lengths"][i] = tl
+            batch["f0"][i, :tl] = it["f0"][:tl]
+            batch["uv"][i, :tl] = it["uv"][:tl]
+            wav = it["wav"][: tl * hop]
+            batch["wavs"][i, : len(wav)] = wav
+            batch["spk_ids"][i] = it["spk_id"]
+        return batch
+
+    def batches(self, max_tokens: int | None = None,
+                max_sentences: int | None = None, shuffle: bool = True,
+                seed: int = 0, pad_to_max_sentences: bool = True,
+                ) -> Iterator[dict]:
+        """One epoch of static-shape batches.
+
+        Size-sorted token bucketing like the reference (sort_by_len), batch
+        order shuffled per epoch.  With ``pad_to_max_sentences`` the batch
+        axis is padded by repeating the last item (mask-safe: repeated items
+        are real data; loss averaging differs negligibly) so every program
+        has the same leading dim.
+        """
+        cfg = self.cfg
+        max_tokens = max_tokens or cfg.max_tokens
+        max_sentences = max_sentences or cfg.max_sentences
+        lengths = np.asarray([self.item_length(i) for i in range(len(self))])
+        order = np.argsort(lengths, kind="mergesort")
+        batches = batch_by_size(lengths, max_tokens, max_sentences, order)
+        rng = np.random.RandomState(seed)
+        if shuffle:
+            rng.shuffle(batches)
+        for idx in batches:
+            items = [self[int(i)] for i in idx]
+            if pad_to_max_sentences:
+                while len(items) < max_sentences:
+                    items.append(items[-1])
+            yield self.collate(items)

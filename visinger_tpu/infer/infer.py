@@ -1,0 +1,145 @@
+"""Standalone MIDI -> waveform inference.
+
+Parity target: reference inference/visinger.py:20-199 — parse a MIDI file,
+phonemize syllables, assemble BOS/EOS token sequences (with optional pitch
+transpose), synthesize frame alignment from MIDI times (get_note2dur's
+3-frame onset/coda rule), run the model's infer branch (prior sample ->
+flow reverse -> full-length HiFi-GAN decode), save 16-bit wav, report RTF.
+
+TPU notes: inputs are padded to the frame-bucket edges so repeated calls hit
+a small set of compiled programs; synthesis is batch-capable.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visinger_tpu.data.binarizer import build_dur_codec
+from visinger_tpu.data.preprocess import midi_to_encoding, split_syllables
+from visinger_tpu.models.factory import build_models
+from visinger_tpu.utils.audio.align import get_note2dur
+from visinger_tpu.utils.audio.io import save_wav
+from visinger_tpu.utils.midi import MidiFile
+from visinger_tpu.utils.text.token_encoder import build_token_encoder
+
+
+class VISingerInfer:
+    def __init__(self, cfg, params_g, data_dir: str | None = None):
+        self.cfg = cfg
+        data_dir = data_dir or cfg.binary_data_dir
+        self.ph_encoder = build_token_encoder(f"{data_dir}/phone_set.json")
+        with open(f"{data_dir}/pitch_map.json") as f:
+            self.pitch_map = json.load(f)
+        with open(f"{data_dir}/dur_map.json") as f:
+            self.dur_map = json.load(f)
+        self.model, _ = build_models(
+            cfg, ph_vocab=len(self.ph_encoder),
+            pitch_vocab=len(self.pitch_map), dur_vocab=len(self.dur_map))
+        self.params_g = params_g
+        self._infer_fn = jax.jit(self._infer, static_argnames=())
+
+    # ------------------------------------------------------------------
+    def preprocess_input(self, midi_fn: str, lyrics: list[str] | None = None,
+                         pitch_control: int = 0) -> dict:
+        """MIDI file -> model input arrays (batch of 1)."""
+        cfg = self.cfg
+        midi = MidiFile(midi_fn)
+        pargs = dict(cfg.preprocess_args)
+        rows, _min_sil, _text = midi_to_encoding(midi, pargs, lyrics)
+        _ph_list, sub_rows = split_syllables(rows, cfg)
+        # second pass with BOS/EOS; rows -> 9-field (with tokens) + transpose
+        from visinger_tpu.data.preprocess import second_pass
+
+        rows9, phs, ph_tokens = second_pass(sub_rows, self.ph_encoder, 0)
+        if pitch_control:
+            for r in rows9:
+                if r[2] > 0:
+                    r[2] = int(np.clip(r[2] + pitch_control,
+                                       cfg.note_range[0], cfg.note_range[1] - 1))
+        mel2ph, mel2note, duration, ph_list, cleaned = get_note2dur(
+            [[r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[8], r[8]]
+             for r in rows9],
+            cfg.hop_size, cfg.sample_rate,
+            min_sil_duration=float(cfg.binarization_args.get("min_sil_duration", 0.0)),
+            num_frame=cfg.preprocess_args.num_frame)
+        d2e, _ = build_dur_codec(self.bin_arg("max_durations", 8),
+                                 self.bin_arg("pos_resolution", 16))
+        note_pitch = [self.pitch_map.get(str(r[2]), 0) for r in cleaned]
+        note_dur = [self.dur_map.get(str(d2e(r[3])), 0) for r in cleaned]
+        text_tokens = []
+        for r in cleaned:
+            text_tokens.extend(self.ph_encoder.encode(r[7]))
+        assert len(text_tokens) == max(mel2ph), (len(text_tokens), max(mel2ph))
+        return {
+            "text_tokens": np.asarray(text_tokens, np.int32),
+            "note_pitch": np.asarray(note_pitch, np.int32),
+            "note_dur": np.asarray(note_dur, np.int32),
+            "mel2ph": np.asarray(mel2ph, np.int32),
+        }
+
+    def bin_arg(self, key, default):
+        return int(self.cfg.binarization_args.get(key, default))
+
+    # ------------------------------------------------------------------
+    def _pad_to_bucket(self, inp: dict) -> tuple[dict, int]:
+        cfg = self.cfg
+        t = len(inp["mel2ph"])
+        buckets = list(cfg.frame_buckets)
+        ti = bisect.bisect_left(buckets, t)
+        t_pad = buckets[ti] if ti < len(buckets) else t
+        n = len(inp["text_tokens"])
+        tok_buckets = list(cfg.token_buckets)
+        ni = bisect.bisect_left(tok_buckets, n)
+        n_pad = tok_buckets[ni] if ni < len(tok_buckets) else n
+        batch = {
+            "text_tokens": np.zeros((1, n_pad), np.int32),
+            "note_pitch": np.zeros((1, n_pad), np.int32),
+            "note_dur": np.zeros((1, n_pad), np.int32),
+            "mel2ph": np.zeros((1, t_pad), np.int32),
+            "spk_ids": np.zeros((1,), np.int32),
+        }
+        batch["text_tokens"][0, :n] = inp["text_tokens"]
+        batch["note_pitch"][0, :n] = inp["note_pitch"][:n]
+        batch["note_dur"][0, :n] = inp["note_dur"][:n]
+        batch["mel2ph"][0, :t] = inp["mel2ph"]
+        return batch, t
+
+    def _infer(self, params_g, batch, rng):
+        out = self.model.apply(
+            {"params": params_g},
+            text_tokens=batch["text_tokens"],
+            pitch_tokens=batch["note_pitch"],
+            dur_tokens=batch["note_dur"],
+            mel2ph=batch["mel2ph"],
+            spk_id=batch["spk_ids"],
+            infer=True, deterministic=True,
+            rngs={"sample": rng},
+        )
+        return out["wav_out"]
+
+    # ------------------------------------------------------------------
+    def synthesize(self, midi_fn: str, lyrics: list[str] | None = None,
+                   pitch_control: int = 0, seed: int = 0) -> tuple[np.ndarray, float]:
+        """-> (waveform float32, rtf). rtf = synthesis time / audio seconds."""
+        inp = self.preprocess_input(midi_fn, lyrics, pitch_control)
+        batch, t_valid = self._pad_to_bucket(inp)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        t0 = time.perf_counter()
+        wav = self._infer_fn(self.params_g, jb, jax.random.PRNGKey(seed))
+        wav = np.asarray(jax.block_until_ready(wav))[0]
+        dt = time.perf_counter() - t0
+        wav = wav[: t_valid * self.cfg.hop_size]
+        audio_s = len(wav) / self.cfg.sample_rate
+        return wav, dt / max(audio_s, 1e-9)
+
+    def to_file(self, midi_fn: str, out_fn: str, **kw) -> float:
+        wav, rtf = self.synthesize(midi_fn, **kw)
+        save_wav(wav, out_fn, self.cfg.sample_rate,
+                 norm=bool(self.cfg.get("out_wav_norm", True)))
+        return rtf

@@ -1,0 +1,228 @@
+"""Common linen building blocks, channels-last ([B, T, C]) for TPU.
+
+Re-implements the primitives the reference builds on torch.nn:
+  - Conv1d / ConvTranspose1d with torch-compatible "same" padding semantics
+    (modules/commons/utils.py:109-110 get_padding)
+  - explicit weight normalization (g * v / ||v||) replacing
+    nn.utils.weight_norm (PyTorch C++ internals)
+  - channel LayerNorm (modules/rel_transformer.py:24-42, eps 1e-4)
+  - scaled embedding init N(0, H^-0.5) with zeroed padding row
+    (modules/commons/utils.py:71-76)
+  - sinusoidal positions from the nonpadding cumsum
+    (modules/rel_transformer.py:45-100)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+def torch_conv_pad(kernel_size: int, dilation: int = 1) -> int:
+    """Reference get_padding: length-preserving pad for odd kernels."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _norm_over_vector(v: jax.Array) -> jax.Array:
+    """L2 norm over all axes except the last (out-features)."""
+    axes = tuple(range(v.ndim - 1))
+    return jnp.sqrt(jnp.sum(v * v, axis=axes) + 1e-12)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution, NWC layout, torch-Conv1d-compatible defaults.
+
+    ``weight_norm=True`` uses the explicit g*v/||v|| parameterization with
+    g initialized to ||v|| so the initial function equals the plain conv —
+    matching torch.nn.utils.weight_norm semantics.
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    padding: int | None = None          # None -> torch same-length padding
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        v = self.param("kernel", self.kernel_init, kshape)
+        if self.weight_norm:
+            g = self.param("g", lambda _key: _norm_over_vector(v))
+            w = v * (g / _norm_over_vector(v))
+        else:
+            w = v
+        pad = self.padding
+        if pad is None:
+            pad = torch_conv_pad(self.kernel_size, self.dilation)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D conv matching torch.ConvTranspose1d(k, stride=u,
+    padding=(k-u)//2): output length = T * u.
+
+    Implemented as an input-dilated conv (lhs_dilation) so XLA lowers it to
+    the MXU like any other conv.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = True
+    weight_norm: bool = True
+    kernel_init: Callable = nn.initializers.normal(stddev=0.01)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k, u = self.kernel_size, self.stride
+        p = (k - u) // 2
+        kshape = (k, in_ch, self.features)
+        v = self.param("kernel", self.kernel_init, kshape)
+        if self.weight_norm:
+            g = self.param("g", lambda _key: _norm_over_vector(v))
+            w = v * (g / _norm_over_vector(v))
+        else:
+            w = v
+        # transposed conv == lhs-dilated conv with spatially flipped kernel
+        w = jnp.flip(w, axis=0)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class Conv2dP(nn.Module):
+    """2-D conv (NHWC), kernel (kh, 1), torch-compatible pad — the period-
+    discriminator conv (modules/discriminator.py:20-26)."""
+
+    features: int
+    kernel_h: int
+    stride_h: int = 1
+    weight_norm: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_h, 1, in_ch, self.features)
+        v = self.param("kernel", self.kernel_init, kshape)
+        if self.weight_norm:
+            g = self.param("g", lambda _key: _norm_over_vector(v))
+            w = v * (g / _norm_over_vector(v))
+        else:
+            w = v
+        pad_h = torch_conv_pad(self.kernel_h, 1)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(self.stride_h, 1),
+            padding=[(pad_h, pad_h), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y + b.astype(self.dtype)
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis, eps 1e-4 (rel_transformer.py:24-42).
+
+    In channels-last layout this is a standard last-axis LayerNorm."""
+
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * gamma + beta
+
+
+def embedding_init(key, shape, dtype=jnp.float32):
+    """N(0, H^-0.5) with zeroed padding row 0 (commons/utils.py:71-76)."""
+    h = shape[-1]
+    w = jax.random.normal(key, shape, dtype) * (h ** -0.5)
+    return w.at[0].set(0.0)
+
+
+class TokenEmbedding(nn.Module):
+    """Embedding with padding_idx=0 zero row and N(0, H^-0.5) init."""
+
+    vocab_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        table = self.param("embedding", embedding_init, (self.vocab_size, self.features))
+        return jnp.take(table, ids, axis=0)
+
+
+def sinusoidal_table(num_positions: int, dim: int) -> np.ndarray:
+    """tensor2tensor-style sin/cos table with zeroed row 0 (padding).
+
+    Matches SinusoidalPositionalEmbedding.get_embedding
+    (rel_transformer.py:59-76): concat(sin, cos) halves, not interleaved.
+    """
+    half = dim // 2
+    scale = math.log(10000) / (half - 1)
+    freqs = np.exp(np.arange(half, dtype=np.float64) * -scale)
+    ang = np.arange(num_positions, dtype=np.float64)[:, None] * freqs[None, :]
+    emb = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+    if dim % 2 == 1:
+        emb = np.concatenate([emb, np.zeros((num_positions, 1))], axis=1)
+    emb[0, :] = 0.0
+    return emb.astype(np.float32)
+
+
+def positional_embedding(nonpadding: jax.Array, dim: int) -> jax.Array:
+    """[B, T] mask -> [B, T, dim] sinusoidal embeddings.
+
+    Positions are cumsum of the nonpadding mask (padding gets position 0,
+    which maps to the zero row) — rel_transformer.py:78-100 semantics.
+    """
+    t = nonpadding.shape[1]
+    table = jnp.asarray(sinusoidal_table(t + 1, dim))
+    mask = nonpadding.astype(jnp.int32)
+    positions = jnp.cumsum(mask, axis=1) * mask
+    return jnp.take(table, positions, axis=0)

@@ -1,0 +1,106 @@
+"""Multi-period + scale discriminators (HiFi-GAN style).
+
+Parity target: reference modules/discriminator.py and
+MultiPeriodDiscriminator (models/visinger.py:138-158):
+  - DiscriminatorP (period p): reflect-pad time to a multiple of p, fold
+    1D -> 2D [B, T/p, p, 1], 5 weight-norm (5,1)-kernel stride-(3,1) convs
+    with channels 32->128->512->1024->1024, then a (3,1) post conv; returns
+    the flattened score plus 6 feature maps.
+  - DiscriminatorS: 6 grouped strided 1-D convs (k 15/41/5) + post.
+  - The ensemble is 1 x S + one P per period in (2, 3, 5, 7, 11).
+
+Layout is channels-last; the period fold maps to NHWC so the (5,1) convs
+run on the MXU.  Spectral norm is not implemented (reference default is
+weight norm, config use_spectral_norm: false).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visinger_tpu.modules.common import LRELU_SLOPE, Conv1d, Conv2dP
+
+
+class DiscriminatorP(nn.Module):
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    channels: Sequence[int] = (32, 128, 512, 1024)  # reference widths
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        """x: [B, T] waveform -> (score [B, N], fmaps list)."""
+        b, t = x.shape
+        p = self.period
+        if t % p != 0:
+            n_pad = p - (t % p)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // p, p, 1)  # NHWC: H=time/p, W=period, C=1
+        fmap = []
+        for i, ch in enumerate(self.channels):
+            x = Conv2dP(ch, self.kernel_size, self.stride, name=f"conv_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv2dP(self.channels[-1], self.kernel_size, 1, name="conv_4")(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = Conv2dP(1, 3, 1, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    base: int = 16  # reference widths: 16/64/256/1024/1024/1024
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        """x: [B, T] waveform -> (score [B, N], fmaps list)."""
+        b = x.shape[0]
+        x = x[..., None]  # [B, T, 1]
+        m = self.base
+        specs = [
+            (m, 15, 1, 1),
+            (4 * m, 41, 4, 4),
+            (16 * m, 41, 4, 16),
+            (64 * m, 41, 4, 64),
+            (64 * m, 41, 4, min(256, 16 * m)),
+            (64 * m, 5, 1, 1),
+        ]
+        fmap = []
+        for i, (ch, k, s, groups) in enumerate(specs):
+            pad = 7 if k == 15 else (20 if k == 41 else 2)
+            x = Conv1d(ch, k, stride=s, groups=groups, padding=pad,
+                       weight_norm=True, name=f"conv_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv1d(1, 3, weight_norm=True, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    s_base: int = 16                                  # DiscriminatorS width
+    p_channels: Sequence[int] = (32, 128, 512, 1024)  # DiscriminatorP widths
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps)."""
+        discs = [DiscriminatorS(base=self.s_base, name="disc_s")] + [
+            DiscriminatorP(p, channels=tuple(self.p_channels),
+                           name=f"disc_p{p}") for p in self.periods
+        ]
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d in discs:
+            sr, fr = d(y)
+            sg, fg = d(y_hat)
+            y_d_rs.append(sr)
+            y_d_gs.append(sg)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -1,0 +1,148 @@
+"""VISinger encoders: text/score encoder, frame prior, posterior, predictors.
+
+Parity targets in the reference:
+  TextEncoder               modules/visinger/encoder.py:14-55
+  FramePriorNetwork         modules/visinger/encoder.py:58-73
+  PosteriorEncoder          modules/visinger/encoder.py:76-101
+  PitchPredictor            modules/visinger/predictor.py:7-19
+  PhonemePredictor          modules/visinger/predictor.py:22-35
+
+All channels-last [B, T, C].  Sampling takes explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visinger_tpu.modules.common import Conv1d, TokenEmbedding, positional_embedding
+from visinger_tpu.modules.transformer import RelativeEncoder
+from visinger_tpu.modules.wavenet import WaveNet
+from visinger_tpu.ops.expand import expand_states
+
+
+class TextEncoder(nn.Module):
+    """MIDI-score encoder: (phoneme, note-pitch, note-duration) token triples
+    -> relative-transformer features, length-regulated to frame rate."""
+
+    ph_vocab: int
+    pitch_vocab: int
+    dur_vocab: int
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int
+    p_dropout: float
+    use_pos_embed: bool = True
+
+    @nn.compact
+    def __call__(self, text_tokens, pitch_tokens, dur_tokens, mel2ph,
+                 deterministic: bool = True):
+        """Returns [B, T_frame, H] frame-rate features."""
+        h = self.hidden_channels
+        scale = math.sqrt(h)
+        nonpadding = (text_tokens > 0).astype(jnp.float32)[..., None]  # [B,T_ph,1]
+        emb = jnp.concatenate(
+            [
+                TokenEmbedding(self.ph_vocab, h, name="ph_emb")(text_tokens) * scale,
+                TokenEmbedding(self.pitch_vocab, h, name="pitch_emb")(pitch_tokens) * scale,
+                TokenEmbedding(self.dur_vocab, h, name="dur_emb")(dur_tokens) * scale,
+            ],
+            axis=-1,
+        )
+        x = nn.Dense(h, name="linear")(emb) * nonpadding
+        if self.use_pos_embed:
+            x = x + positional_embedding(nonpadding[..., 0], h)
+        x = x * nonpadding
+        x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
+                            self.kernel_size, self.p_dropout,
+                            name="encoder")(x, nonpadding, deterministic=deterministic)
+        return expand_states(x, mel2ph)
+
+
+class FramePriorNetwork(nn.Module):
+    """Frame-rate prior: relative encoder conditioned on log-f0 (gin=1)
+    -> (mu_p, logs_p)."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int
+    p_dropout: float
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, deterministic: bool = True):
+        h = self.hidden_channels
+        x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
+                            self.kernel_size, self.p_dropout,
+                            name="encoder")(x, x_mask, g=g, deterministic=deterministic)
+        stats = Conv1d(2 * h, 1, name="proj")(x) * x_mask
+        return stats[..., :h], stats[..., h:]
+
+
+class PosteriorEncoder(nn.Module):
+    """Linear-spectrogram -> 16-layer WaveNet -> (z_q, mu_q, logs_q)."""
+
+    out_channels: int
+    hidden_channels: int
+    kernel_size: int = 5
+    dilation_rate: int = 1
+    n_layers: int = 16
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, x_mask, key, g=None, deterministic: bool = True):
+        x = Conv1d(self.hidden_channels, 1, name="pre")(x) * x_mask
+        x = WaveNet(self.hidden_channels, self.kernel_size, self.dilation_rate,
+                    self.n_layers, self.gin_channels, name="enc")(
+                        x, x_mask, g=g, deterministic=deterministic)
+        stats = Conv1d(2 * self.out_channels, 1, name="proj")(x) * x_mask
+        mu_q, logs_q = stats[..., :self.out_channels], stats[..., self.out_channels:]
+        eps = jax.random.normal(key, mu_q.shape, mu_q.dtype)
+        z_q = (mu_q + eps * jnp.exp(logs_q)) * x_mask
+        return z_q, mu_q, logs_q
+
+
+class PitchPredictor(nn.Module):
+    """Relative encoder + 1x1 head -> [B, T, 2] (log-f0, uv-logit)."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int
+    p_dropout: float
+
+    @nn.compact
+    def __call__(self, x, x_mask, spk_emb=None, deterministic: bool = True):
+        x = RelativeEncoder(self.hidden_channels, self.filter_channels,
+                            self.n_heads, self.n_layers, self.kernel_size,
+                            self.p_dropout, name="encoder")(
+                                x, x_mask, g=spk_emb, deterministic=deterministic)
+        return Conv1d(2, 1, name="linear")(x)
+
+
+class PhonemePredictor(nn.Module):
+    """CTC head on z_q: relative encoder + 1x1 -> log-softmax over vocab."""
+
+    vocab_size: int
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int
+    p_dropout: float
+
+    @nn.compact
+    def __call__(self, x, x_mask, deterministic: bool = True):
+        x = RelativeEncoder(self.hidden_channels, self.filter_channels,
+                            self.n_heads, self.n_layers, self.kernel_size,
+                            self.p_dropout, name="encoder")(
+                                x, x_mask, deterministic=deterministic)
+        logits = Conv1d(self.vocab_size, 1, name="ph_proj")(x)
+        return jax.nn.log_softmax(logits, axis=-1)

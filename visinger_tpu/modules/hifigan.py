@@ -1,0 +1,93 @@
+"""HiFi-GAN waveform generator (the VISinger decoder).
+
+Parity target: reference Generator/ResBlock1/ResBlock2
+(modules/visinger/decoder.py:13-137): conv_pre k7 -> optional speaker cond ->
+N x [leaky_relu -> weight-norm ConvTranspose up -> mean of multi-kernel
+ResBlocks] -> leaky_relu -> conv_post k7 (no bias) -> tanh.  Channel count
+halves at each upsample stage; total upsampling equals the hop size (300).
+
+Conv weights init N(0, 0.01) like the reference's init_weights
+(modules/commons/utils.py:103-106).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visinger_tpu.modules.common import LRELU_SLOPE, Conv1d, ConvTranspose1d
+
+_hifi_init = nn.initializers.normal(stddev=0.01)
+
+
+class ResBlock1(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d,
+                        weight_norm=True, kernel_init=_hifi_init,
+                        name=f"conv1_{i}")(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=1,
+                        weight_norm=True, kernel_init=_hifi_init,
+                        name=f"conv2_{i}")(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d,
+                        weight_norm=True, kernel_init=_hifi_init,
+                        name=f"conv_{i}")(xt)
+            x = x + xt
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """z [B, T, C] -> waveform [B, T * prod(upsample_rates)]."""
+
+    resblock_type: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (5, 5, 3, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (11, 11, 7, 4, 4)
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, g: jax.Array | None = None) -> jax.Array:
+        num_kernels = len(self.resblock_kernel_sizes)
+        res_cls = ResBlock1 if self.resblock_type == "1" else ResBlock2
+        x = Conv1d(self.upsample_initial_channel, 7, name="conv_pre")(x)
+        if g is not None and self.gin_channels:
+            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(ch, k, u, weight_norm=True,
+                                kernel_init=_hifi_init, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                             self.resblock_dilations)):
+                y = res_cls(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        x = Conv1d(1, 7, use_bias=False, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]

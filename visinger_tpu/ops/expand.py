@@ -1,0 +1,41 @@
+"""Alignment ops: the length regulator gather and duration recovery.
+
+Parity with reference models/commons/align_ops.py:22-26 (expand_states) and
+utils/audio/align.py:107-129 (mel2token_to_dur), channels-last.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
+    """Length-regulate token-rate features to frame rate.
+
+    Args:
+      h: [B, T_tok, C] token-rate hidden states.
+      mel2token: [B, T_frame] int; 0 = padding, i>0 selects token i-1.
+
+    Returns: [B, T_frame, C]; padding frames get zeros (a zero row is
+    prepended so index 0 maps to zeros, matching the reference convention).
+    """
+    h_pad = jnp.concatenate([jnp.zeros_like(h[:, :1]), h], axis=1)
+    idx = mel2token[..., None].astype(jnp.int32)
+    return jnp.take_along_axis(h_pad, jnp.broadcast_to(idx, (*mel2token.shape, h.shape[-1])), axis=1)
+
+
+def mel2token_to_dur(mel2token: jax.Array, t_tokens: int) -> jax.Array:
+    """Recover per-token durations from a frame->token map (scatter-add).
+
+    Args:
+      mel2token: [B, T_frame] int (0 = padding).
+      t_tokens: static token-axis size of the output.
+
+    Returns: [B, t_tokens] int durations.
+    """
+    one = jnp.ones_like(mel2token)
+    dur = jax.vmap(
+        lambda m, o: jnp.zeros((t_tokens + 1,), dtype=mel2token.dtype).at[m].add(o)
+    )(mel2token, one)
+    return dur[:, 1:]

@@ -1,0 +1,93 @@
+"""Checkpoint save/restore with rotation and best-tracking.
+
+Parity target: reference trainer checkpoint policy
+(utils/commons/trainer.py:453-492, ckpt_utils.py:8-63): save every
+validation on process 0, atomic write, keep the newest ``num_ckpt_keep``,
+track best by val_loss; resume picks the newest step.
+
+Implementation: flax.serialization msgpack of the TrainState pytree (params,
+both optimizer states, step, PRNG key) — a single file per step, atomic via
+.part + os.replace.  Multi-host: only process 0 writes; callers barrier via
+the next collective.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _ckpt_path(work_dir: str, step: int) -> str:
+    return os.path.join(work_dir, f"model_ckpt_steps_{step}.msgpack")
+
+
+def save_checkpoint(work_dir: str, state: Any, num_keep: int = 100,
+                    val_loss: float | None = None) -> str | None:
+    """Atomic save + rotation + best tracking. Returns the path (or None on
+    non-zero hosts)."""
+    if jax.process_index() != 0:
+        return None
+    os.makedirs(work_dir, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    path = _ckpt_path(work_dir, step)
+    blob = serialization.to_bytes(jax.device_get(state))
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+    # rotation: keep newest num_keep
+    for old in sorted(all_checkpoints(work_dir), key=_ckpt_step)[:-num_keep]:
+        os.remove(old)
+
+    # best tracking
+    if val_loss is not None:
+        best_fn = os.path.join(work_dir, "best.json")
+        best = {"val_loss": float("inf")}
+        if os.path.exists(best_fn):
+            with open(best_fn) as f:
+                best = json.load(f)
+        if val_loss < best["val_loss"]:
+            with open(best_fn + ".part", "w") as f:
+                json.dump({"val_loss": float(val_loss), "step": step}, f)
+            os.replace(best_fn + ".part", best_fn)
+            with open(os.path.join(work_dir, "model_ckpt_best.msgpack"), "wb") as f:
+                f.write(blob)
+    return path
+
+
+def _ckpt_step(path: str) -> int:
+    m = re.search(r"steps_(\d+)\.msgpack$", path)
+    return int(m.group(1)) if m else -1
+
+
+def all_checkpoints(work_dir: str) -> list[str]:
+    return [p for p in glob.glob(os.path.join(work_dir, "model_ckpt_steps_*.msgpack"))
+            if _ckpt_step(p) >= 0]
+
+
+def latest_checkpoint(work_dir: str) -> str | None:
+    ckpts = sorted(all_checkpoints(work_dir), key=_ckpt_step)
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into a template TrainState (shape/dtype-matching pytree)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def restore_latest(work_dir: str, target: Any) -> tuple[Any, int]:
+    """-> (state, step); (target, 0) when no checkpoint exists."""
+    path = latest_checkpoint(work_dir)
+    if path is None:
+        return target, 0
+    state = restore_checkpoint(path, target)
+    return state, int(jax.device_get(state.step))

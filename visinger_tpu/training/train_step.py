@@ -1,0 +1,150 @@
+"""The fused VISinger GAN train step — one XLA program per step.
+
+The reference runs two sequential optimizer passes per step with separate
+backwards (utils/commons/trainer.py:306-384).  Here both are fused into a
+single jitted function preserving the reference's update semantics
+(tasks/visinger.py:53-89):
+  1. generator loss/grads vs the *pre-update* discriminator -> AdamW update
+  2. discriminator loss on (real slice, detached fake from the same forward)
+     -> AdamW update, gated by disc_start_steps / disc_interval via lax.cond
+     so a gated-off step leaves params AND optimizer state untouched.
+
+Loss gating (the reference's find_unused_parameters situations) is handled
+with masked/zero losses, never dynamic graphs, so the program is static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from visinger_tpu.ops.masking import slice_segments
+from visinger_tpu.ops.stft import (
+    STFTParams,
+    log_mel_spectrogram,
+    power_spectrogram,
+)
+from visinger_tpu.training import losses as L
+from visinger_tpu.training.train_state import TrainState, make_optimizers
+
+
+def make_train_step(cfg, model, disc) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the (un-jitted) fused train step; callers wrap in jax.jit/pjit."""
+    mel_params = STFTParams(
+        cfg.fft_size, cfg.win_size, cfg.hop_size, cfg.sample_rate,
+        float(cfg.fmin), float(cfg.fmax), cfg.num_mel_bins)
+    # TPU-first: the posterior's linear spectrogram is computed ON DEVICE from
+    # the raw waveform (the reference computes it in dataset workers,
+    # tasks/dataset_utils.py:140-141) — the batch ships 24 kHz wav only,
+    # ~14x less host->device traffic, and the DFT matmuls ride the MXU.
+    opt_g, opt_d = make_optimizers(cfg)
+    seg = cfg.segment_size
+    hop = cfg.hop_size
+    lambda_adv = float(cfg.lambda_mel_adv)
+    disc_start_steps = int(cfg.disc_start_steps)
+    disc_interval = int(cfg.disc_interval)
+
+    def gen_loss_fn(params_g, params_d, batch, step, rngs):
+        spec = batch.get("spec")
+        if spec is None:
+            spec = jax.lax.stop_gradient(
+                power_spectrogram(batch["wavs"], mel_params))
+        out = model.apply(
+            {"params": params_g},
+            text_tokens=batch["text_tokens"],
+            pitch_tokens=batch["note_pitch"],
+            dur_tokens=batch["note_dur"],
+            mel2ph=batch["mel2ph"],
+            spk_id=batch.get("spk_ids"),
+            f0=batch.get("f0"),
+            uv=batch.get("uv"),
+            spec=spec,
+            lengths=batch.get("mel_lengths"),
+            infer=False,
+            deterministic=False,
+            rngs=rngs,
+        )
+        losses = {}
+        losses["kl_v"] = jax.lax.stop_gradient(out["kl"])
+        losses["kl"] = L.kl_schedule(out["kl"], step, float(cfg.kl_min),
+                                     int(cfg.kl_start_steps), float(cfg.lambda_kl))
+        tgt_mel = log_mel_spectrogram(batch["wavs"], mel_params)
+        tgt_slice = slice_segments(tgt_mel, out["ids_slice"], seg)
+        mel_out = log_mel_spectrogram(out["wav_out"], mel_params)
+        losses["mel_l1"] = L.masked_mel_l1(mel_out, tgt_slice) * 45.0
+        if cfg.use_pitch_embed:
+            losses["uv"], losses["f0"] = L.pitch_losses(
+                out["f0_pred"], batch["f0"], batch["uv"], batch["mel2ph"],
+                float(cfg.lambda_uv), float(cfg.lambda_f0))
+        if cfg.use_phoneme_pred:
+            losses["ctc"] = L.ctc_loss(
+                out["ph_pred"], batch["mel_lengths"], batch["text_tokens"],
+                batch["text_lengths"], float(cfg.lambda_ctc))
+
+        real_slice = slice_segments(
+            batch["wavs"], out["ids_slice"] * hop, seg * hop)
+        adv_gate = 1.0
+        if disc_start_steps > 0:
+            adv_gate = (step >= disc_start_steps).astype(jnp.float32)
+        if lambda_adv > 0:
+            _, fake_scores, fmap_r, fmap_g = disc.apply(
+                {"params": jax.lax.stop_gradient(params_d)},
+                real_slice, out["wav_out"])
+            losses["adv"] = L.generator_adv_loss(fake_scores) * lambda_adv * adv_gate
+            losses["fm"] = L.feature_matching_loss(fmap_r, fmap_g) \
+                * float(cfg.lambda_fm) * adv_gate
+        total = sum(v for k, v in losses.items() if k != "kl_v")
+        aux = {"losses": losses, "wav_out": out["wav_out"],
+               "real_slice": real_slice}
+        return total, aux
+
+    def disc_loss_fn(params_d, real, fake):
+        real_scores, fake_scores, _, _ = disc.apply({"params": params_d}, real, fake)
+        return L.discriminator_loss(real_scores, fake_scores)
+
+    def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        rng, k_sample, k_drop = jax.random.split(state.rng, 3)
+        rngs = {"sample": k_sample, "dropout": k_drop}
+
+        (total_g, aux), grads_g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.params_g, state.params_d, batch, state.step, rngs)
+        updates_g, opt_state_g = opt_g.update(grads_g, state.opt_state_g,
+                                              state.params_g)
+        params_g = jax.tree.map(lambda p, u: p + u, state.params_g, updates_g)
+
+        fake = jax.lax.stop_gradient(aux["wav_out"])
+        real = jax.lax.stop_gradient(aux["real_slice"])
+
+        def do_disc(operand):
+            params_d, opt_state_d = operand
+            loss_d, grads_d = jax.value_and_grad(disc_loss_fn)(params_d, real, fake)
+            updates_d, opt_state_d = opt_d.update(grads_d, opt_state_d, params_d)
+            params_d = jax.tree.map(lambda p, u: p + u, params_d, updates_d)
+            return params_d, opt_state_d, loss_d
+
+        def skip_disc(operand):
+            params_d, opt_state_d = operand
+            return params_d, opt_state_d, jnp.zeros(())
+
+        if disc_start_steps > 0 or disc_interval > 1:
+            gate = jnp.logical_and(state.step >= disc_start_steps,
+                                   (state.step % disc_interval) == 0)
+            params_d, opt_state_d, loss_d = jax.lax.cond(
+                gate, do_disc, skip_disc, (state.params_d, state.opt_state_d))
+        else:  # statically always-on: avoid compiling the dead branch
+            params_d, opt_state_d, loss_d = do_disc(
+                (state.params_d, state.opt_state_d))
+
+        metrics = {k: v for k, v in aux["losses"].items()}
+        metrics["total_g"] = total_g
+        metrics["disc"] = loss_d
+        new_state = TrainState(
+            params_g=params_g, params_d=params_d,
+            opt_state_g=opt_state_g, opt_state_d=opt_state_d,
+            step=state.step + 1, rng=rng)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,155 @@
+"""Training runtime: the epoch/step loop around the fused train step.
+
+Replaces the reference Trainer + BaseTask + VISingerTask runtime
+(utils/commons/trainer.py:46-304, tasks/visinger.py:18-227) with a compact
+loop: bucketed static-shape batches -> sharded device put -> fused jitted
+step; validation + checkpoint every ``val_check_interval``; JSONL metric log
+(+ TensorBoard when torch is importable); loss meters averaged per log
+window.  Multi-host: process-0 does IO, every process feeds its own shard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visinger_tpu.data.dataset import VISingerDataset
+from visinger_tpu.models.factory import build_models
+from visinger_tpu.parallel import jit_train_step, make_mesh, shard_batch
+from visinger_tpu.training.checkpoint import restore_latest, save_checkpoint
+from visinger_tpu.training.train_state import create_train_state
+from visinger_tpu.training.train_step import make_train_step
+from visinger_tpu.utils.text.token_encoder import build_token_encoder
+
+
+class MetricLogger:
+    def __init__(self, work_dir: str):
+        self.path = os.path.join(work_dir, "log.jsonl")
+        os.makedirs(work_dir, exist_ok=True)
+        self._tb = None
+        try:  # TensorBoard via torch (cpu) when available
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict, prefix: str = "train"):
+        rec = {"step": step, "prefix": prefix,
+               **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+class Trainer:
+    def __init__(self, cfg, work_dir: str | None = None):
+        self.cfg = cfg
+        self.work_dir = work_dir or cfg.work_dir
+        data_dir = cfg.binary_data_dir
+        self.token_encoder = build_token_encoder(f"{data_dir}/phone_set.json")
+        with open(f"{data_dir}/pitch_map.json") as f:
+            pitch_map = json.load(f)
+        with open(f"{data_dir}/dur_map.json") as f:
+            dur_map = json.load(f)
+        self.model, self.disc = build_models(
+            cfg, ph_vocab=len(self.token_encoder),
+            pitch_vocab=len(pitch_map), dur_vocab=len(dur_map))
+        # DP mesh: the batch axis must divide evenly; use the largest device
+        # count that divides the per-step batch (max_sentences, since batches
+        # are padded to it).
+        n_dev = len(jax.devices())
+        bs = int(cfg.max_sentences)
+        k = max(d for d in range(1, n_dev + 1) if bs % d == 0 and d <= n_dev)
+        if k < n_dev and jax.process_index() == 0:
+            print(f"| DP mesh uses {k}/{n_dev} devices (batch {bs} not "
+                  f"divisible by {n_dev})")
+        self.mesh = make_mesh(jax.devices()[:k])
+        self.logger = MetricLogger(self.work_dir) if jax.process_index() == 0 else None
+
+    # ------------------------------------------------------------------
+    def _init_state(self, example_batch: dict):
+        from visinger_tpu.models.factory import init_params
+
+        params_g, params_d = init_params(self.cfg, self.model, self.disc,
+                                         example_batch)
+        return create_train_state(self.cfg, params_g, params_d,
+                                  jax.random.PRNGKey(self.cfg.seed))
+
+    # ------------------------------------------------------------------
+    def fit(self, max_updates: int | None = None):
+        cfg = self.cfg
+        max_updates = max_updates or cfg.max_updates
+        train_ds = VISingerDataset(cfg, cfg.train_set_name)
+        valid_ds = VISingerDataset(cfg, cfg.valid_set_name)
+        first = next(train_ds.batches(shuffle=False))
+        state = self._init_state(first)
+        state, start_step = restore_latest(self.work_dir, state)
+        if start_step and jax.process_index() == 0:
+            print(f"| resumed from step {start_step}")
+        train_step = make_train_step(cfg, self.model, self.disc)
+        step_fn = jit_train_step(train_step, self.mesh)
+        # eval reuses the same program without donation (state reused after)
+        eval_fn = jit_train_step(train_step, self.mesh, donate_state=False)
+
+        meters: dict[str, list] = defaultdict(list)
+        step = start_step
+        epoch = 0
+        t_start = time.time()
+        while step < max_updates:
+            for batch in train_ds.batches(seed=cfg.seed + epoch):
+                batch = shard_batch(batch, self.mesh)
+                state, metrics = step_fn(state, batch)
+                step += 1
+                for k, v in metrics.items():
+                    meters[k].append(v)
+                if step % cfg.tb_log_interval == 0 and self.logger:
+                    avg = {k: float(np.mean([float(x) for x in v]))
+                           for k, v in meters.items()}
+                    avg["steps_per_s"] = cfg.tb_log_interval / max(
+                        time.time() - t_start, 1e-9)
+                    t_start = time.time()
+                    self.logger.log(step, avg)
+                    print(f"| step {step}: " + ", ".join(
+                        f"{k}={v:.3f}" for k, v in sorted(avg.items())))
+                    meters.clear()
+                if step % cfg.val_check_interval == 0:
+                    val_loss = self.evaluate(state, valid_ds, eval_fn=eval_fn)
+                    if self.logger:
+                        self.logger.log(step, {"val_loss": val_loss}, "val")
+                    save_checkpoint(self.work_dir, state,
+                                    num_keep=cfg.num_ckpt_keep,
+                                    val_loss=val_loss)
+                if step >= max_updates:
+                    break
+            epoch += 1
+        save_checkpoint(self.work_dir, state, num_keep=cfg.num_ckpt_keep)
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state, valid_ds, max_batches: int | None = None,
+                 eval_fn=None) -> float:
+        cfg = self.cfg
+        max_batches = max_batches or cfg.eval_max_batches
+        if eval_fn is None:
+            eval_fn = jit_train_step(
+                make_train_step(cfg, self.model, self.disc), self.mesh,
+                donate_state=False)
+        totals = []
+        for i, batch in enumerate(valid_ds.batches(
+                max_sentences=cfg.max_sentences, shuffle=False)):
+            if i >= max_batches:
+                break
+            batch = shard_batch(batch, self.mesh)
+            _, metrics = eval_fn(state, batch)
+            totals.append(float(metrics["total_g"]))
+        return float(np.mean(totals)) if totals else float("nan")
