@@ -38,6 +38,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     cfg = load_config(name="visinger_csd")
+    dtype = os.environ.get("BENCH_DTYPE")
+    if dtype:
+        cfg = cfg.replace(compute_dtype=dtype)
     raw = synthetic_batch(batch_size, n_tokens, n_frames, vocab=60,
                           pitch_vocab=117, dur_vocab=98,
                           num_linear_bins=cfg.num_linear_bins,

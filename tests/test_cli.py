@@ -1,0 +1,56 @@
+"""CLI entry point tests (visinger_tpu/run.py) — cheap paths only."""
+
+import json
+import os
+
+import numpy as np
+import yaml
+
+from visinger_tpu.run import main
+
+
+def _write_tiny_cfg(tmp_path, processed, binary):
+    cfg_fn = tmp_path / "cfg.yaml"
+    base = os.path.join(os.path.dirname(__file__), "..", "visinger_tpu",
+                        "config", "defaults", "visinger_csd.yaml")
+    cfg = {
+        "base_config": [os.path.abspath(base)],
+        "processed_data_dir": str(processed),
+        "binary_data_dir": str(binary),
+        "binarization_args": {
+            "train_range": [2, -1], "valid_range": [1, 2],
+            "test_range": [0, 1], "min_text": 2,
+        },
+    }
+    cfg_fn.write_text(yaml.safe_dump(cfg))
+    return str(cfg_fn)
+
+
+def test_cli_synth_data_and_binarize(tmp_path):
+    processed = tmp_path / "processed"
+    binary = tmp_path / "binary"
+    cfg_fn = _write_tiny_cfg(tmp_path, processed, binary)
+    main(["synth-data", "--config", cfg_fn, "--n_items", "5"])
+    assert (processed / "metadata.json").exists()
+    assert (processed / "phone_set.json").exists()
+    main(["binarize", "--config", cfg_fn])
+    lengths = np.load(binary / "train_lengths.npy")
+    assert len(lengths) >= 1
+    with open(binary / "dur_map.json") as f:
+        assert json.load(f)["[PAD]"] == 0
+
+
+def test_cli_exp_name_persists_config(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    processed = tmp_path / "p"
+    binary = tmp_path / "b"
+    cfg_fn = _write_tiny_cfg(tmp_path, processed, binary)
+    main(["synth-data", "--config", cfg_fn, "--exp_name", "exp1",
+          "--n_items", "3"])
+    saved = tmp_path / "checkpoints" / "exp1" / "config.yaml"
+    assert saved.exists()
+    with open(saved) as f:
+        persisted = yaml.safe_load(f)
+    assert persisted["processed_data_dir"] == str(processed)
+    # re-resolve from the persisted config (simulates resume)
+    main(["synth-data", "--exp_name", "exp1", "--n_items", "3"])

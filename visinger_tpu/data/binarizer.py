@@ -71,6 +71,21 @@ def build_tempo_map(tempo_range) -> dict:
     return m
 
 
+def _binarize_worker(args):
+    """Top-level worker fn (picklable) for the binarizer process pool."""
+    binarizer, item, pitch_map, dur_map, tempo_map = args
+    d2e, _ = build_dur_codec(binarizer.bin_args.max_durations,
+                             binarizer.bin_args.pos_resolution)
+    try:
+        return binarizer.process_item(item, pitch_map, dur_map,
+                                      tempo_map, d2e), None
+    except BinarizationError as e:
+        return None, f"{item.get('item_name')}: {e}"
+    except Exception as e:
+        traceback.print_exc()
+        return None, f"{item.get('item_name')} (unexpected: {e!r})"
+
+
 class Binarizer:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -122,17 +137,12 @@ class Binarizer:
         d2e, _ = build_dur_codec(self.bin_args.max_durations,
                                  self.bin_args.pos_resolution)
         lengths, total_sec, n_ok = [], 0.0, 0
+        n_workers = int(cfg.get("binarize_workers", 0)) or (os.cpu_count() or 1)
         with RecordWriter(f"{self.data_dir}/{prefix}") as writer:
-            for item in items:
-                try:
-                    rec = self.process_item(item, pitch_map, dur_map,
-                                            tempo_map, d2e)
-                except BinarizationError as e:
-                    print(f"| skip {item.get('item_name')}: {e}")
-                    continue
-                except Exception:
-                    traceback.print_exc()
-                    print(f"| skip {item.get('item_name')} (unexpected)")
+            for rec, err in self._process_items(items, pitch_map, dur_map,
+                                                tempo_map, d2e, n_workers):
+                if rec is None:
+                    print(f"| skip: {err}")
                     continue
                 writer.add(rec)
                 lengths.append(rec["len"])
@@ -141,6 +151,37 @@ class Binarizer:
         np.save(f"{self.data_dir}/{prefix}_lengths.npy",
                 np.asarray(lengths, np.int64))
         print(f"| {prefix}: {n_ok} items, {total_sec:.1f}s")
+
+    def _process_items(self, items, pitch_map, dur_map, tempo_map, d2e,
+                       n_workers: int):
+        """Yield (record | None, err) preserving item order; multiprocess
+        when n_workers > 1 (the reference binarizes through a worker pool,
+        utils/commons/multiprocess_utils.py:87)."""
+
+        def one(item):
+            try:
+                return self.process_item(item, pitch_map, dur_map,
+                                         tempo_map, d2e), None
+            except BinarizationError as e:
+                return None, f"{item.get('item_name')}: {e}"
+            except Exception as e:
+                traceback.print_exc()
+                return None, f"{item.get('item_name')} (unexpected: {e!r})"
+
+        if n_workers <= 1 or len(items) <= 2:
+            for item in items:
+                yield one(item)
+            return
+        from concurrent.futures import ProcessPoolExecutor
+
+        try:
+            with ProcessPoolExecutor(max_workers=min(n_workers, len(items))) as ex:
+                yield from ex.map(_binarize_worker,
+                                  [(self, item, pitch_map, dur_map, tempo_map)
+                                   for item in items])
+        except Exception:  # pickling/forking issues: fall back to serial
+            for item in items:
+                yield one(item)
 
     # ------------------------------------------------------------------
     def process_item(self, item: dict, pitch_map, dur_map, tempo_map, d2e) -> dict:

@@ -19,7 +19,8 @@ def build_models(cfg: Config, ph_vocab: int, pitch_vocab: int, dur_vocab: int):
     disc = MultiPeriodDiscriminator(
         periods=tuple(cfg.disc_periods),
         s_base=int(cfg.get("disc_s_base", 16)),
-        p_channels=tuple(cfg.get("disc_p_channels", (32, 128, 512, 1024))))
+        p_channels=tuple(cfg.get("disc_p_channels", (32, 128, 512, 1024))),
+        dtype=jnp.dtype(cfg.get("compute_dtype", "float32")))
     return model, disc
 
 
@@ -35,7 +36,9 @@ def init_params(cfg: Config, model, disc, batch: dict, seed: int = 0):
             STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
                        cfg.sample_rate, float(cfg.fmin), float(cfg.fmax),
                        cfg.num_mel_bins))
-    params_g = model.init(
+    # jit the inits: eager linen init dispatches hundreds of individual ops,
+    # which is pathological through a remote-compile TPU tunnel.
+    params_g = jax.jit(model.init, static_argnames=("infer",))(
         init_rngs,
         text_tokens=jnp.asarray(batch["text_tokens"]),
         pitch_tokens=jnp.asarray(batch["note_pitch"]),
@@ -49,7 +52,7 @@ def init_params(cfg: Config, model, disc, batch: dict, seed: int = 0):
         infer=False,
     )["params"]
     wav = jnp.zeros((batch["wavs"].shape[0], cfg.segment_size * cfg.hop_size))
-    params_d = disc.init(rng, wav, wav)["params"]
+    params_d = jax.jit(disc.init)(rng, wav, wav)["params"]
     return params_g, params_d
 
 

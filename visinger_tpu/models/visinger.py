@@ -44,10 +44,12 @@ class VISinger(nn.Module):
     def setup(self):
         cfg = self.cfg
         h = cfg.hidden_size
+        dtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
         self.text_encoder = TextEncoder(
             self.ph_vocab, self.pitch_vocab, self.dur_vocab, h,
             cfg.ffn_filter_channels, cfg.num_heads, cfg.enc_layers,
-            cfg.ffn_kernel_size, cfg.p_dropout, use_pos_embed=True)
+            cfg.ffn_kernel_size, cfg.p_dropout, use_pos_embed=True,
+            dtype=dtype)
         if cfg.use_spk_id:
             self.spk_id_proj = nn.Embed(
                 cfg.num_spk, cfg.gin_channels,
@@ -57,20 +59,23 @@ class VISinger(nn.Module):
         if cfg.use_pitch_embed:
             self.pitch_predictor = PitchPredictor(
                 h, cfg.ffn_filter_channels, cfg.num_heads,
-                cfg.pitch_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout)
+                cfg.pitch_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout,
+                dtype=dtype)
         if cfg.use_phoneme_pred:
             self.phoneme_predictor = PhonemePredictor(
                 self.ph_vocab, h, cfg.ffn_filter_channels, cfg.num_heads,
-                cfg.phoneme_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout)
+                cfg.phoneme_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout,
+                dtype=dtype)
         self.frame_prior = FramePriorNetwork(
             h, cfg.ffn_filter_channels, cfg.num_heads, cfg.frame_prior_layers,
-            cfg.ffn_kernel_size, cfg.p_dropout)
+            cfg.ffn_kernel_size, cfg.p_dropout, dtype=dtype)
         self.posterior_encoder = PosteriorEncoder(
             h, h, cfg.posterior_wn_kernel, 1, cfg.posterior_wn_layers,
-            gin_channels=cfg.gin_channels)
+            gin_channels=cfg.gin_channels, dtype=dtype)
         self.flow = ResidualCouplingBlock(
             h, h, cfg.flow_wn_kernel, 1, cfg.flow_wn_layers,
-            n_flows=cfg.flow_n_flows, gin_channels=cfg.gin_channels)
+            n_flows=cfg.flow_n_flows, gin_channels=cfg.gin_channels,
+            dtype=dtype)
         self.decoder = HiFiGANGenerator(
             resblock_type=str(cfg.dec_blocks),
             resblock_kernel_sizes=tuple(cfg.dec_kernel_size),
@@ -78,7 +83,7 @@ class VISinger(nn.Module):
             upsample_rates=tuple(cfg.upsample_rates),
             upsample_initial_channel=cfg.initial_upsample_channels,
             upsample_kernel_sizes=tuple(cfg.upsample_kernel_sizes),
-            gin_channels=cfg.gin_channels)
+            gin_channels=cfg.gin_channels, dtype=dtype)
 
     def speaker_embedding(self, spk_embed, spk_id):
         """-> [B, 1, gin] or None (models/visinger.py:114-121)."""
@@ -141,7 +146,8 @@ class VISinger(nn.Module):
                 ret["ph_pred"] = self.phoneme_predictor(
                     z_q, tgt_nonpadding, deterministic=deterministic) * tgt_nonpadding
             z_p = self.flow(z_q, tgt_nonpadding, g=spk_emb,
-                            deterministic=deterministic) * tgt_nonpadding
+                            deterministic=deterministic).astype(jnp.float32) \
+                * tgt_nonpadding
             ret["z_p"] = z_p
             kl = (logs_p - logs_q - 0.5) \
                 + 0.5 * jnp.square(z_p - mu_p) * jnp.exp(-2.0 * logs_p)
@@ -158,6 +164,7 @@ class VISinger(nn.Module):
             eps = jax.random.normal(self.make_rng("sample"), mu_p.shape, mu_p.dtype)
             z_p = (mu_p + eps * jnp.exp(logs_p)) * tgt_nonpadding
             z_q = self.flow(z_p, tgt_nonpadding, g=spk_emb, reverse=True,
-                            deterministic=deterministic) * tgt_nonpadding
+                            deterministic=deterministic).astype(jnp.float32) \
+                * tgt_nonpadding
             ret["wav_out"] = self.decoder(z_q * tgt_nonpadding, g=spk_emb)
         return ret

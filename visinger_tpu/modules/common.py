@@ -164,7 +164,8 @@ class Conv2dP(nn.Module):
 class ChannelLayerNorm(nn.Module):
     """LayerNorm over the channel axis, eps 1e-4 (rel_transformer.py:24-42).
 
-    In channels-last layout this is a standard last-axis LayerNorm."""
+    In channels-last layout this is a standard last-axis LayerNorm.
+    Statistics are computed in f32 regardless of input dtype (bf16-safe)."""
 
     eps: float = 1e-4
 
@@ -173,10 +174,11 @@ class ChannelLayerNorm(nn.Module):
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * gamma + beta
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma + beta).astype(x.dtype)
 
 
 def embedding_init(key, shape, dtype=jnp.float32):
@@ -218,11 +220,18 @@ def sinusoidal_table(num_positions: int, dim: int) -> np.ndarray:
 def positional_embedding(nonpadding: jax.Array, dim: int) -> jax.Array:
     """[B, T] mask -> [B, T, dim] sinusoidal embeddings.
 
-    Positions are cumsum of the nonpadding mask (padding gets position 0,
-    which maps to the zero row) — rel_transformer.py:78-100 semantics.
+    Positions are cumsum of the nonpadding mask (padding gets position 0 ->
+    all-zero embedding) — rel_transformer.py:78-100 semantics.  Computed
+    in-graph (no [T, dim] table constant; only the [dim/2] freq vector is
+    inlined) to keep HLO small.
     """
-    t = nonpadding.shape[1]
-    table = jnp.asarray(sinusoidal_table(t + 1, dim))
+    half = dim // 2
+    scale = math.log(10000) / (half - 1)
+    freqs = jnp.asarray(np.exp(np.arange(half) * -scale).astype(np.float32))
     mask = nonpadding.astype(jnp.int32)
     positions = jnp.cumsum(mask, axis=1) * mask
-    return jnp.take(table, positions, axis=0)
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 0), (0, 1)))
+    return emb * (positions != 0)[..., None]

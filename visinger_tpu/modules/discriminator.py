@@ -30,6 +30,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     channels: Sequence[int] = (32, 128, 512, 1024)  # reference widths
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -40,28 +41,31 @@ class DiscriminatorP(nn.Module):
             n_pad = p - (t % p)
             x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
             t = t + n_pad
-        x = x.reshape(b, t // p, p, 1)  # NHWC: H=time/p, W=period, C=1
+        x = x.reshape(b, t // p, p, 1).astype(self.dtype)  # NHWC
         fmap = []
         for i, ch in enumerate(self.channels):
-            x = Conv2dP(ch, self.kernel_size, self.stride, name=f"conv_{i}")(x)
+            x = Conv2dP(ch, self.kernel_size, self.stride, dtype=self.dtype,
+                        name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv2dP(self.channels[-1], self.kernel_size, 1, name="conv_4")(x)
+        x = Conv2dP(self.channels[-1], self.kernel_size, 1, dtype=self.dtype,
+                    name="conv_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = Conv2dP(1, 3, 1, name="conv_post")(x)
+        x = Conv2dP(1, 3, 1, dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
 
 class DiscriminatorS(nn.Module):
     base: int = 16  # reference widths: 16/64/256/1024/1024/1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
         """x: [B, T] waveform -> (score [B, N], fmaps list)."""
         b = x.shape[0]
-        x = x[..., None]  # [B, T, 1]
+        x = x[..., None].astype(self.dtype)  # [B, T, 1]
         m = self.base
         specs = [
             (m, 15, 1, 1),
@@ -75,10 +79,10 @@ class DiscriminatorS(nn.Module):
         for i, (ch, k, s, groups) in enumerate(specs):
             pad = 7 if k == 15 else (20 if k == 41 else 2)
             x = Conv1d(ch, k, stride=s, groups=groups, padding=pad,
-                       weight_norm=True, name=f"conv_{i}")(x)
+                       weight_norm=True, dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv1d(1, 3, weight_norm=True, name="conv_post")(x)
+        x = Conv1d(1, 3, weight_norm=True, dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -87,13 +91,16 @@ class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     s_base: int = 16                                  # DiscriminatorS width
     p_channels: Sequence[int] = (32, 128, 512, 1024)  # DiscriminatorP widths
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps)."""
-        discs = [DiscriminatorS(base=self.s_base, name="disc_s")] + [
+        discs = [DiscriminatorS(base=self.s_base, dtype=self.dtype,
+                                name="disc_s")] + [
             DiscriminatorP(p, channels=tuple(self.p_channels),
-                           name=f"disc_p{p}") for p in self.periods
+                           dtype=self.dtype, name=f"disc_p{p}")
+            for p in self.periods
         ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:

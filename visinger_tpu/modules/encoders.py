@@ -38,6 +38,7 @@ class TextEncoder(nn.Module):
     kernel_size: int
     p_dropout: float
     use_pos_embed: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, text_tokens, pitch_tokens, dur_tokens, mel2ph,
@@ -45,7 +46,7 @@ class TextEncoder(nn.Module):
         """Returns [B, T_frame, H] frame-rate features."""
         h = self.hidden_channels
         scale = math.sqrt(h)
-        nonpadding = (text_tokens > 0).astype(jnp.float32)[..., None]  # [B,T_ph,1]
+        nonpadding = (text_tokens > 0).astype(self.dtype)[..., None]  # [B,T_ph,1]
         emb = jnp.concatenate(
             [
                 TokenEmbedding(self.ph_vocab, h, name="ph_emb")(text_tokens) * scale,
@@ -53,13 +54,13 @@ class TextEncoder(nn.Module):
                 TokenEmbedding(self.dur_vocab, h, name="dur_emb")(dur_tokens) * scale,
             ],
             axis=-1,
-        )
-        x = nn.Dense(h, name="linear")(emb) * nonpadding
+        ).astype(self.dtype)
+        x = nn.Dense(h, dtype=self.dtype, name="linear")(emb) * nonpadding
         if self.use_pos_embed:
-            x = x + positional_embedding(nonpadding[..., 0], h)
+            x = x + positional_embedding(nonpadding[..., 0], h).astype(self.dtype)
         x = x * nonpadding
         x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
-                            self.kernel_size, self.p_dropout,
+                            self.kernel_size, self.p_dropout, dtype=self.dtype,
                             name="encoder")(x, nonpadding, deterministic=deterministic)
         return expand_states(x, mel2ph)
 
@@ -74,14 +75,18 @@ class FramePriorNetwork(nn.Module):
     n_layers: int
     kernel_size: int
     p_dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, deterministic: bool = True):
         h = self.hidden_channels
         x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
-                            self.kernel_size, self.p_dropout,
+                            self.kernel_size, self.p_dropout, dtype=self.dtype,
                             name="encoder")(x, x_mask, g=g, deterministic=deterministic)
-        stats = Conv1d(2 * h, 1, name="proj")(x) * x_mask
+        stats = Conv1d(2 * h, 1, dtype=self.dtype, name="proj")(x) \
+            * x_mask.astype(self.dtype)
+        # distribution stats in f32: downstream exp/KL need the range
+        stats = stats.astype(jnp.float32)
         return stats[..., :h], stats[..., h:]
 
 
@@ -94,14 +99,20 @@ class PosteriorEncoder(nn.Module):
     dilation_rate: int = 1
     n_layers: int = 16
     gin_channels: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, key, g=None, deterministic: bool = True):
-        x = Conv1d(self.hidden_channels, 1, name="pre")(x) * x_mask
+        x = x.astype(self.dtype)
+        xm = x_mask.astype(self.dtype)
+        x = Conv1d(self.hidden_channels, 1, dtype=self.dtype, name="pre")(x) * xm
         x = WaveNet(self.hidden_channels, self.kernel_size, self.dilation_rate,
-                    self.n_layers, self.gin_channels, name="enc")(
-                        x, x_mask, g=g, deterministic=deterministic)
-        stats = Conv1d(2 * self.out_channels, 1, name="proj")(x) * x_mask
+                    self.n_layers, self.gin_channels, dtype=self.dtype,
+                    name="enc")(x, xm, g=g, deterministic=deterministic)
+        stats = Conv1d(2 * self.out_channels, 1, dtype=self.dtype,
+                       name="proj")(x) * xm
+        # sampling in f32 (exp of logs needs range), z cast back downstream
+        stats = stats.astype(jnp.float32)
         mu_q, logs_q = stats[..., :self.out_channels], stats[..., self.out_channels:]
         eps = jax.random.normal(key, mu_q.shape, mu_q.dtype)
         z_q = (mu_q + eps * jnp.exp(logs_q)) * x_mask
@@ -117,14 +128,16 @@ class PitchPredictor(nn.Module):
     n_layers: int
     kernel_size: int
     p_dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, spk_emb=None, deterministic: bool = True):
         x = RelativeEncoder(self.hidden_channels, self.filter_channels,
                             self.n_heads, self.n_layers, self.kernel_size,
-                            self.p_dropout, name="encoder")(
+                            self.p_dropout, dtype=self.dtype, name="encoder")(
                                 x, x_mask, g=spk_emb, deterministic=deterministic)
-        return Conv1d(2, 1, name="linear")(x)
+        return Conv1d(2, 1, dtype=self.dtype,
+                      name="linear")(x).astype(jnp.float32)
 
 
 class PhonemePredictor(nn.Module):
@@ -137,12 +150,14 @@ class PhonemePredictor(nn.Module):
     n_layers: int
     kernel_size: int
     p_dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
         x = RelativeEncoder(self.hidden_channels, self.filter_channels,
                             self.n_heads, self.n_layers, self.kernel_size,
-                            self.p_dropout, name="encoder")(
+                            self.p_dropout, dtype=self.dtype, name="encoder")(
                                 x, x_mask, deterministic=deterministic)
-        logits = Conv1d(self.vocab_size, 1, name="ph_proj")(x)
-        return jax.nn.log_softmax(logits, axis=-1)
+        logits = Conv1d(self.vocab_size, 1, dtype=self.dtype, name="ph_proj")(x)
+        # CTC numerics in f32
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

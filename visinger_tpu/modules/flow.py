@@ -28,19 +28,22 @@ class ResidualCouplingLayer(nn.Module):
     n_layers: int = 4
     gin_channels: int = 0
     mean_only: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
                  reverse: bool = False, deterministic: bool = True):
         half = self.channels // 2
+        x = x.astype(self.dtype)
+        x_mask = x_mask.astype(self.dtype)
         x0, x1 = x[..., :half], x[..., half:]
-        h = Conv1d(self.hidden_channels, 1, name="pre")(x0) * x_mask
+        h = Conv1d(self.hidden_channels, 1, dtype=self.dtype, name="pre")(x0) * x_mask
         h = WaveNet(self.hidden_channels, self.kernel_size, self.dilation_rate,
-                    self.n_layers, self.gin_channels, name="enc")(
-                        h, x_mask, g=g, deterministic=deterministic)
+                    self.n_layers, self.gin_channels, dtype=self.dtype,
+                    name="enc")(h, x_mask, g=g, deterministic=deterministic)
         n_out = half * (1 if self.mean_only else 2)
         stats = Conv1d(n_out, 1, kernel_init=nn.initializers.zeros,
-                       name="post")(h) * x_mask
+                       dtype=self.dtype, name="post")(h) * x_mask
         if self.mean_only:
             m, logs = stats, jnp.zeros_like(stats)
         else:
@@ -61,6 +64,7 @@ class ResidualCouplingBlock(nn.Module):
     n_layers: int = 4
     n_flows: int = 4
     gin_channels: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
@@ -69,7 +73,7 @@ class ResidualCouplingBlock(nn.Module):
             ResidualCouplingLayer(
                 self.channels, self.hidden_channels, self.kernel_size,
                 self.dilation_rate, self.n_layers, self.gin_channels,
-                mean_only=True, name=f"coupling_{i}")
+                mean_only=True, dtype=self.dtype, name=f"coupling_{i}")
             for i in range(self.n_flows)
         ]
         if not reverse:

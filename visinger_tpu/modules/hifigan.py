@@ -27,6 +27,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -34,11 +35,11 @@ class ResBlock1(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
                         weight_norm=True, kernel_init=_hifi_init,
-                        name=f"conv1_{i}")(xt)
+                        dtype=self.dtype, name=f"conv1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=1,
                         weight_norm=True, kernel_init=_hifi_init,
-                        name=f"conv2_{i}")(xt)
+                        dtype=self.dtype, name=f"conv2_{i}")(xt)
             x = x + xt
         return x
 
@@ -47,6 +48,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -54,7 +56,7 @@ class ResBlock2(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
                         weight_norm=True, kernel_init=_hifi_init,
-                        name=f"conv_{i}")(xt)
+                        dtype=self.dtype, name=f"conv_{i}")(xt)
             x = x + xt
         return x
 
@@ -69,25 +71,31 @@ class HiFiGANGenerator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (11, 11, 7, 4, 4)
     gin_channels: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, g: jax.Array | None = None) -> jax.Array:
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock_type == "1" else ResBlock2
-        x = Conv1d(self.upsample_initial_channel, 7, name="conv_pre")(x)
+        x = x.astype(self.dtype)
+        x = Conv1d(self.upsample_initial_channel, 7, dtype=self.dtype,
+                   name="conv_pre")(x)
         if g is not None and self.gin_channels:
-            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
+            x = x + Conv1d(self.upsample_initial_channel, 1, dtype=self.dtype,
+                           name="cond")(g.astype(self.dtype))
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, weight_norm=True,
+            x = ConvTranspose1d(ch, k, u, weight_norm=True, dtype=self.dtype,
                                 kernel_init=_hifi_init, name=f"up_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilations)):
-                y = res_cls(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
+                y = res_cls(ch, rk, tuple(rd), dtype=self.dtype,
+                            name=f"res_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
         x = nn.leaky_relu(x, LRELU_SLOPE)
-        x = Conv1d(1, 7, use_bias=False, name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        x = Conv1d(1, 7, use_bias=False, dtype=self.dtype, name="conv_post")(x)
+        # waveform output back in f32 for the (f32) STFT losses
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]

@@ -28,18 +28,21 @@ from flax import linen as nn
 from visinger_tpu.modules.common import ChannelLayerNorm, Conv1d
 
 
-def _band_gather_indices(t: int, window: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Static index maps for banded relative attention."""
-    i = np.arange(t)[:, None]
-    j = np.arange(t)[None, :]
+def _band_gather_indices(t: int, window: int):
+    """Index maps for banded relative attention, built IN-GRAPH with iota —
+    inlining a [t, t] int constant costs ~25 MB of HLO at t=1280 and chokes
+    (remote) compilation."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     d = j - i + window                       # [t, t] in [-t+w, t+w]
     valid_k = (d >= 0) & (d <= 2 * window)
-    idx_k = np.clip(d, 0, 2 * window)        # gather into [2w+1] axis
-    dd = np.arange(2 * window + 1)[None, :]
-    jj = np.arange(t)[:, None] + dd - window  # [t, 2w+1] absolute j per (i, d)
+    idx_k = jnp.clip(d, 0, 2 * window)       # gather into [2w+1] axis
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * window + 1), 0)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * window + 1), 1)
+    jj = ii + dd - window                    # [t, 2w+1] absolute j per (i, d)
     valid_v = (jj >= 0) & (jj < t)
-    idx_v = np.clip(jj, 0, t - 1)
-    return idx_k.astype(np.int32), valid_k, idx_v.astype(np.int32), valid_v
+    idx_v = jnp.clip(jj, 0, t - 1)
+    return idx_k, valid_k, idx_v, valid_v
 
 
 class RelativeMultiHeadAttention(nn.Module):
@@ -49,6 +52,7 @@ class RelativeMultiHeadAttention(nn.Module):
     n_heads: int
     window_size: int = 4
     p_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_mask: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -58,9 +62,9 @@ class RelativeMultiHeadAttention(nn.Module):
         assert c % h == 0
 
         xavier = nn.initializers.xavier_uniform()
-        q = Conv1d(c, 1, kernel_init=xavier, name="conv_q")(x)
-        k = Conv1d(c, 1, kernel_init=xavier, name="conv_k")(x)
-        v = Conv1d(c, 1, kernel_init=xavier, name="conv_v")(x)
+        q = Conv1d(c, 1, kernel_init=xavier, dtype=self.dtype, name="conv_q")(x)
+        k = Conv1d(c, 1, kernel_init=xavier, dtype=self.dtype, name="conv_k")(x)
+        v = Conv1d(c, 1, kernel_init=xavier, dtype=self.dtype, name="conv_v")(x)
 
         # heads_share=True: one [2w+1, dk] table for all heads.
         rel_init = nn.initializers.normal(stddev=dk ** -0.5)
@@ -79,25 +83,25 @@ class RelativeMultiHeadAttention(nn.Module):
         # relative-key logits: [B,H,T,2w+1] -> banded [B,H,T,T]
         rel = jnp.einsum("bhid,md->bhim", qh, emb_rel_k,
                          preferred_element_type=jnp.float32) * scale
-        rel_abs = jnp.take_along_axis(
-            rel, jnp.asarray(idx_k)[None, None], axis=-1)
-        scores = scores + jnp.where(jnp.asarray(valid_k)[None, None], rel_abs, 0.0)
+        rel_abs = jnp.take_along_axis(rel, idx_k[None, None], axis=-1)
+        scores = scores + jnp.where(valid_k[None, None], rel_abs, 0.0)
 
         scores = jnp.where(attn_mask[:, None] > 0, scores, -1e4)
         p_attn = jax.nn.softmax(scores, axis=-1)
         p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
 
+        # softmax stays f32; weights cast back to the compute dtype for the MXU
+        p_attn = p_attn.astype(self.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", p_attn, vh,
                          preferred_element_type=jnp.float32)
         # relative-value contribution: w_rel[i, d] = p_attn[i, i+d-w]
-        w_rel = jnp.take_along_axis(
-            p_attn, jnp.asarray(idx_v)[None, None], axis=-1)
-        w_rel = jnp.where(jnp.asarray(valid_v)[None, None], w_rel, 0.0)
+        w_rel = jnp.take_along_axis(p_attn, idx_v[None, None], axis=-1)
+        w_rel = jnp.where(valid_v[None, None], w_rel, 0.0)
         out = out + jnp.einsum("bhim,md->bhid", w_rel, emb_rel_v,
                                preferred_element_type=jnp.float32)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return Conv1d(self.channels, 1, name="conv_o")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c).astype(self.dtype)
+        return Conv1d(self.channels, 1, dtype=self.dtype, name="conv_o")(out)
 
 
 class ConvFFN(nn.Module):
@@ -107,13 +111,15 @@ class ConvFFN(nn.Module):
     filter_channels: int
     kernel_size: int
     p_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = Conv1d(self.filter_channels, self.kernel_size, name="conv_1")(x * x_mask)
+        x = Conv1d(self.filter_channels, self.kernel_size, dtype=self.dtype,
+                   name="conv_1")(x * x_mask)
         x = jax.nn.relu(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        return Conv1d(self.channels, 1, name="conv_2")(x * x_mask)
+        return Conv1d(self.channels, 1, dtype=self.dtype, name="conv_2")(x * x_mask)
 
 
 class RelativeEncoder(nn.Module):
@@ -131,14 +137,18 @@ class RelativeEncoder(nn.Module):
     kernel_size: int = 1
     p_dropout: float = 0.0
     window_size: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
         """x: [B, T, C]; x_mask: [B, T, 1]; g: [B, 1|T, gin] or None."""
+        x = x.astype(self.dtype)
+        x_mask = x_mask.astype(self.dtype)
         attn_mask = x_mask[:, :, 0][:, :, None] * x_mask[:, :, 0][:, None, :]
         if g is not None:
-            g = Conv1d(self.hidden_channels, 1, name="pre_net")(g)
+            g = Conv1d(self.hidden_channels, 1, dtype=self.dtype,
+                       name="pre_net")(g.astype(self.dtype))
         drop = nn.Dropout(self.p_dropout)
         for i in range(self.n_layers):
             if g is not None:
@@ -146,11 +156,12 @@ class RelativeEncoder(nn.Module):
             x = x * x_mask
             y = RelativeMultiHeadAttention(
                 self.hidden_channels, self.n_heads, self.window_size,
-                self.p_dropout, name=f"attn_{i}")(x, attn_mask, deterministic)
+                self.p_dropout, dtype=self.dtype,
+                name=f"attn_{i}")(x, attn_mask, deterministic)
             y = drop(y, deterministic=deterministic)
             x = ChannelLayerNorm(name=f"norm1_{i}")(x + y)
             y = ConvFFN(self.hidden_channels, self.filter_channels,
-                        self.kernel_size, self.p_dropout,
+                        self.kernel_size, self.p_dropout, dtype=self.dtype,
                         name=f"ffn_{i}")(x, x_mask, deterministic)
             y = drop(y, deterministic=deterministic)
             x = ChannelLayerNorm(name=f"norm2_{i}")(x + y)

@@ -77,6 +77,8 @@ class STFTParams:
         self.win_length = win_length
         self.hop_length = hop_length
         self.sample_rate = sample_rate
+        self.f_min = f_min
+        self.f_max = f_max
         self.n_bins = n_fft // 2 + 1
         self.cos_m, self.sin_m = _dft_matrices(n_fft, win_length)
         self.mel_fb = mel_filterbank(self.n_bins, f_min, f_max, n_mels, sample_rate)
@@ -87,8 +89,48 @@ def _frame(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[1] - n_fft) // hop
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    # index matrix built in-graph (an inlined [F, n_fft] int constant costs
+    # ~100s of KB of HLO; see _dft_matrices_on_device rationale)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (n_frames, n_fft), 0) * hop
+           + jax.lax.broadcasted_iota(jnp.int32, (n_frames, n_fft), 1))
     return x[:, idx]
+
+
+def _dft_matrices_on_device(params: STFTParams) -> tuple[jax.Array, jax.Array]:
+    """Window-folded DFT matrices computed IN-GRAPH.
+
+    Embedding the [n_fft, n_bins] matrices as array constants bloats every
+    containing HLO by ~17 MB and cripples (remote) compilation, so they are
+    rebuilt on device each call — ~4M transcendentals, noise next to the
+    model.  The angle is reduced with integer ``(n*k) mod n_fft`` first, so
+    f32 cos/sin stay exact (n*k reaches 2^21; naive 2*pi*n*k/N would lose
+    ~4 decimal digits to f32 rounding).
+    """
+    n_fft, n_bins, wl = params.n_fft, params.n_bins, params.win_length
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_bins), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_bins), 1)
+    ang = (2.0 * np.pi / n_fft) * ((n * k) % n_fft).astype(jnp.float32)
+    lpad = (n_fft - wl) // 2
+    pos = jnp.arange(n_fft, dtype=jnp.float32)
+    win = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * (pos - lpad) / wl)
+    win = jnp.where((pos >= lpad) & (pos < lpad + wl), win, 0.0)
+    return win[:, None] * jnp.cos(ang), win[:, None] * jnp.sin(ang)
+
+
+def _mel_fb_on_device(params: STFTParams) -> jax.Array:
+    """HTK mel filterbank computed in-graph (same no-big-constants rationale
+    as _dft_matrices_on_device); [n_bins, n_mels]."""
+    n_mels = params.mel_fb.shape[1]
+    f_pts = jnp.asarray(
+        _mel_to_hz_htk(np.linspace(_hz_to_mel_htk(params.f_min),
+                                   _hz_to_mel_htk(params.f_max), n_mels + 2))
+        .astype(np.float32))  # tiny [n_mels+2] constant — fine to inline
+    all_freqs = jnp.linspace(0.0, params.sample_rate // 2, params.n_bins)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    return jnp.maximum(0.0, jnp.minimum(down, up))
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -99,8 +141,7 @@ def power_spectrogram(x: jax.Array, params: STFTParams) -> jax.Array:
     axis, mel_processing.py:25).  Frame axis is time (channels-last).
     """
     frames = _frame(x, params.n_fft, params.hop_length)
-    cos_m = jnp.asarray(params.cos_m)
-    sin_m = jnp.asarray(params.sin_m)
+    cos_m, sin_m = _dft_matrices_on_device(params)
     re = jnp.einsum("bfn,nk->bfk", frames, cos_m, preferred_element_type=jnp.float32)
     im = jnp.einsum("bfn,nk->bfk", frames, sin_m, preferred_element_type=jnp.float32)
     spec = re * re + im * im
@@ -111,12 +152,11 @@ def power_spectrogram(x: jax.Array, params: STFTParams) -> jax.Array:
 def log_mel_spectrogram(x: jax.Array, params: STFTParams) -> jax.Array:
     """[B, L] waveform -> [B, F-1, n_mels] log-mel, log(mel + 1e-3)."""
     frames = _frame(x, params.n_fft, params.hop_length)
-    cos_m = jnp.asarray(params.cos_m)
-    sin_m = jnp.asarray(params.sin_m)
+    cos_m, sin_m = _dft_matrices_on_device(params)
     re = jnp.einsum("bfn,nk->bfk", frames, cos_m, preferred_element_type=jnp.float32)
     im = jnp.einsum("bfn,nk->bfk", frames, sin_m, preferred_element_type=jnp.float32)
     spec = re * re + im * im
-    mel = jnp.einsum("bfk,km->bfm", spec, jnp.asarray(params.mel_fb),
+    mel = jnp.einsum("bfk,km->bfm", spec, _mel_fb_on_device(params),
                      preferred_element_type=jnp.float32)
     return jnp.log(mel + 1e-3)[:, :-1, :]
 

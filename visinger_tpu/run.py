@@ -1,0 +1,138 @@
+"""Unified CLI — train / preprocess / binarize / infer / bench.
+
+Parity target: the reference's entry points (tasks/runs/run.py,
+preprocessor/runs/{base_preprocess,base_binarize}.py, inference/visinger.py)
+collapsed into one argparse CLI:
+
+  python -m visinger_tpu.run train      --config cfg.yaml --exp_name x
+  python -m visinger_tpu.run preprocess --config cfg.yaml
+  python -m visinger_tpu.run binarize   --config cfg.yaml
+  python -m visinger_tpu.run infer      --config cfg.yaml --exp_name x \
+                                        --midi song.mid --out out.wav
+  python -m visinger_tpu.run synth-data --config cfg.yaml   (synthetic corpus)
+
+--hparams "a=1,b.c=2" overrides dotted config keys (hparams.py:96-109 UX).
+The work dir is checkpoints/<exp_name>; the merged config is persisted there
+and re-merged on resume (hparams.py:79-90 semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import yaml
+
+from visinger_tpu.config import Config, load_config, parse_overrides
+
+
+def _resolve_config(args) -> Config:
+    overrides = parse_overrides(args.hparams or "")
+    work_dir = None
+    if args.exp_name:
+        work_dir = os.path.join("checkpoints", args.exp_name)
+        saved = os.path.join(work_dir, "config.yaml")
+        if os.path.exists(saved) and not args.reset:
+            cfg = load_config(saved, overrides=overrides)
+            return cfg.replace(work_dir=work_dir, exp_name=args.exp_name)
+    cfg = load_config(args.config or None, overrides=overrides,
+                      name=None if args.config else "visinger_csd")
+    if work_dir:
+        cfg = cfg.replace(work_dir=work_dir, exp_name=args.exp_name)
+        os.makedirs(work_dir, exist_ok=True)
+        with open(os.path.join(work_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg.to_dict(), f, allow_unicode=True)
+    return cfg
+
+
+def cmd_train(args):
+    from visinger_tpu.training.trainer import Trainer
+
+    cfg = _resolve_config(args)
+    Trainer(cfg).fit()
+
+
+def cmd_preprocess(args):
+    from visinger_tpu.data.preprocess import Preprocessor
+
+    Preprocessor(_resolve_config(args)).process()
+
+
+def cmd_binarize(args):
+    from visinger_tpu.data.binarizer import Binarizer
+
+    Binarizer(_resolve_config(args)).process()
+
+
+def cmd_infer(args):
+    import jax
+
+    from visinger_tpu.data.dataset import VISingerDataset  # noqa: F401
+    from visinger_tpu.infer.infer import VISingerInfer
+    from visinger_tpu.models.factory import build_models
+    from visinger_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
+    from visinger_tpu.training.train_state import create_train_state
+    from visinger_tpu.utils.text.token_encoder import build_token_encoder
+
+    cfg = _resolve_config(args)
+    data_dir = cfg.binary_data_dir
+    enc = build_token_encoder(f"{data_dir}/phone_set.json")
+    with open(f"{data_dir}/pitch_map.json") as f:
+        pv = len(json.load(f))
+    with open(f"{data_dir}/dur_map.json") as f:
+        dv = len(json.load(f))
+    from visinger_tpu.data.synthetic import synthetic_batch
+    import jax.numpy as jnp
+
+    model, disc = build_models(cfg, len(enc), pv, dv)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        1, 16, 64, vocab=len(enc), pitch_vocab=pv, dur_vocab=dv,
+        num_linear_bins=cfg.num_linear_bins, hop_size=cfg.hop_size).items()}
+    from visinger_tpu.models.factory import init_state
+
+    template = init_state(cfg, model, disc, batch)
+    ckpt = latest_checkpoint(cfg.work_dir)
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint in {cfg.work_dir}")
+    state = restore_checkpoint(ckpt, template)
+    print(f"| loaded {ckpt} (step {int(state.step)})")
+    infer = VISingerInfer(cfg, state.params_g)
+    rtf = infer.to_file(args.midi, args.out,
+                        pitch_control=args.pitch_control)
+    print(f"| wrote {args.out} (RTF {rtf:.3f})")
+
+
+def cmd_synth_data(args):
+    from visinger_tpu.data.synthetic_corpus import generate_corpus
+
+    cfg = _resolve_config(args)
+    generate_corpus(cfg.processed_data_dir, n_items=args.n_items,
+                    sample_rate=cfg.sample_rate)
+    print(f"| synthetic corpus at {cfg.processed_data_dir}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="visinger_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("train", cmd_train), ("preprocess", cmd_preprocess),
+                     ("binarize", cmd_binarize), ("infer", cmd_infer),
+                     ("synth-data", cmd_synth_data)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", default="")
+        sp.add_argument("--exp_name", default="")
+        sp.add_argument("-hp", "--hparams", default="")
+        sp.add_argument("--reset", action="store_true")
+        if name == "infer":
+            sp.add_argument("--midi", required=True)
+            sp.add_argument("--out", default="out.wav")
+            sp.add_argument("--pitch_control", type=int, default=0)
+        if name == "synth-data":
+            sp.add_argument("--n_items", type=int, default=12)
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

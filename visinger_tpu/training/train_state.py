@@ -58,11 +58,13 @@ def create_train_state(cfg, params_g, params_d, rng) -> TrainState:
     import jax.numpy as jnp
 
     opt_g, opt_d = make_optimizers(cfg)
+    # jitted: eager optax init dispatches one zeros-op per parameter leaf,
+    # which is pathological through a remote-compile TPU tunnel.
     return TrainState(
         params_g=params_g,
         params_d=params_d,
-        opt_state_g=opt_g.init(params_g),
-        opt_state_d=opt_d.init(params_d),
+        opt_state_g=jax.jit(opt_g.init)(params_g),
+        opt_state_d=jax.jit(opt_d.init)(params_d),
         step=jnp.zeros((), jnp.int32),
         rng=rng,
     )

@@ -75,6 +75,7 @@ class Trainer:
                   f"divisible by {n_dev})")
         self.mesh = make_mesh(jax.devices()[:k])
         self.logger = MetricLogger(self.work_dir) if jax.process_index() == 0 else None
+        self._render_fn = None
 
     # ------------------------------------------------------------------
     def _init_state(self, example_batch: dict):
@@ -129,6 +130,10 @@ class Trainer:
                     save_checkpoint(self.work_dir, state,
                                     num_keep=cfg.num_ckpt_keep,
                                     val_loss=val_loss)
+                    if (cfg.get("render_valid", False)
+                            and step % cfg.valid_infer_interval == 0
+                            and jax.process_index() == 0):
+                        self.render_valid(state, valid_ds, step)
                 if step >= max_updates:
                     break
             epoch += 1
@@ -136,6 +141,55 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def render_valid(self, state, valid_ds, step: int,
+                     n_items: int | None = None):
+        """Synthesize a few validation items and dump wav + mel PNG to the
+        work dir (reference save_valid_result, tasks/visinger.py:175-185)."""
+        from visinger_tpu.ops.stft import STFTParams, log_mel_spectrogram
+        from visinger_tpu.utils.audio.io import save_wav
+        from visinger_tpu.utils.plot import save_spec_png
+
+        cfg = self.cfg
+        n_items = n_items or int(cfg.get("num_valid_plots", 2))
+        out_dir = os.path.join(self.work_dir, f"valid_{step}")
+        os.makedirs(out_dir, exist_ok=True)
+        if self._render_fn is None:
+            def infer_fn(params_g, batch, rng):
+                out = self.model.apply(
+                    {"params": params_g},
+                    text_tokens=batch["text_tokens"],
+                    pitch_tokens=batch["note_pitch"],
+                    dur_tokens=batch["note_dur"],
+                    mel2ph=batch["mel2ph"],
+                    spk_id=batch["spk_ids"],
+                    infer=True, deterministic=True, rngs={"sample": rng})
+                return out["wav_out"]
+
+            self._render_fn = jax.jit(infer_fn)
+        mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
+                                cfg.sample_rate, float(cfg.fmin),
+                                float(cfg.fmax), cfg.num_mel_bins)
+        done = 0
+        for batch in valid_ds.batches(max_sentences=cfg.max_sentences,
+                                      shuffle=False):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            wavs = np.asarray(self._render_fn(
+                state.params_g, jb, jax.random.PRNGKey(step)))
+            mels = np.asarray(log_mel_spectrogram(jnp.asarray(wavs), mel_params))
+            for i in range(wavs.shape[0]):
+                if done >= n_items:
+                    return
+                t = int(batch["mel_lengths"][i])
+                wav = wavs[i, : t * cfg.hop_size]
+                save_wav(wav, f"{out_dir}/item{done}.wav", cfg.sample_rate,
+                         norm=True)
+                save_spec_png(f"{out_dir}/item{done}_mel.png", mels[i, :t],
+                              vmin=cfg.get("mel_vmin", -7),
+                              vmax=cfg.get("mel_vmax", 12))
+                done += 1
+            if done >= n_items:
+                return
+
     def evaluate(self, state, valid_ds, max_batches: int | None = None,
                  eval_fn=None) -> float:
         cfg = self.cfg
