@@ -30,7 +30,60 @@ from visinger_tpu.training.train_step import make_train_step
 REFERENCE_MEL_FRAMES_PER_S = 8000.0  # documented assumption, see module docstring
 
 
+def bench_rtf():
+    """Synthesis throughput: audio-seconds generated per wall-second
+    (batched infer branch: prior sample -> flow reverse -> full decode)."""
+    batch_size = int(os.environ.get("BENCH_BATCH", 4))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 640))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", 192))
+    warmup = int(os.environ.get("BENCH_WARMUP", 2))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+
+    cfg = load_config(name="visinger_csd")
+    dtype = os.environ.get("BENCH_DTYPE")
+    if dtype:
+        cfg = cfg.replace(compute_dtype=dtype)
+    raw = synthetic_batch(batch_size, n_tokens, n_frames, vocab=60,
+                          pitch_vocab=117, dur_vocab=98,
+                          num_linear_bins=cfg.num_linear_bins,
+                          hop_size=cfg.hop_size)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    model, disc = build_models(cfg, ph_vocab=60, pitch_vocab=117, dur_vocab=98)
+    from visinger_tpu.models.factory import init_params
+
+    params_g, _ = init_params(cfg, model, disc, raw)
+
+    def infer_fn(params, batch, rng):
+        out = model.apply(
+            {"params": params}, text_tokens=batch["text_tokens"],
+            pitch_tokens=batch["note_pitch"], dur_tokens=batch["note_dur"],
+            mel2ph=batch["mel2ph"], spk_id=batch["spk_ids"],
+            infer=True, deterministic=True, rngs={"sample": rng})
+        return out["wav_out"]
+
+    fn = jax.jit(infer_fn)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(params_g, batch, rng))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params_g, batch, rng))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+    audio_s = batch_size * n_frames * cfg.hop_size / cfg.sample_rate
+    print(json.dumps({
+        "metric": "synth_audio_seconds_per_s",
+        "value": round(audio_s / median, 1),
+        "unit": "audio-s/s (1/RTF, batched)",
+        "vs_baseline": round(audio_s / median, 3),  # no reference RTF exists
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "rtf":
+        return bench_rtf()
     batch_size = int(os.environ.get("BENCH_BATCH", 4))
     n_frames = int(os.environ.get("BENCH_FRAMES", 640))
     n_tokens = int(os.environ.get("BENCH_TOKENS", 192))
@@ -41,6 +94,14 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE")
     if dtype:
         cfg = cfg.replace(compute_dtype=dtype)
+    # ablations for bottleneck hunting: BENCH_ABLATE=ctc,pitch,disc
+    ablate = set(filter(None, os.environ.get("BENCH_ABLATE", "").split(",")))
+    if "ctc" in ablate:
+        cfg = cfg.replace(use_phoneme_pred=False)
+    if "pitch" in ablate:
+        cfg = cfg.replace(use_pitch_embed=False)
+    if "disc" in ablate:
+        cfg = cfg.replace(lambda_mel_adv=0.0, disc_start_steps=10 ** 9)
     raw = synthetic_batch(batch_size, n_tokens, n_frames, vocab=60,
                           pitch_vocab=117, dur_vocab=98,
                           num_linear_bins=cfg.num_linear_bins,

@@ -1,0 +1,82 @@
+"""Tests: Griffin-Lim vocoder, wav processors, spectral norm."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visinger_tpu.models.factory import tiny_config
+
+
+def test_griffin_lim_roundtrip():
+    from visinger_tpu.infer.vocoder import get_vocoder_cls
+    from visinger_tpu.ops.stft import STFTParams, power_spectrogram_np
+
+    cfg = tiny_config().replace(griffin_lim_iters=12)
+    voc = get_vocoder_cls("griffin_lim")(cfg)
+    t = np.arange(300 * 40) / 24000
+    wav = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
+                        cfg.sample_rate, float(cfg.fmin), float(cfg.fmax),
+                        cfg.num_mel_bins)
+    spec = power_spectrogram_np(wav, params)
+    rec = voc.spec2wav(spec)
+    assert rec.shape[0] == spec.shape[0] * cfg.hop_size
+    # spectral fidelity: reconstructed spectrogram close to the input
+    spec_rec = power_spectrogram_np(rec[: len(wav)], params)
+    corr = np.corrcoef(np.sqrt(spec.ravel() + 1e-9),
+                       np.sqrt(spec_rec.ravel() + 1e-9))[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_wav_processors():
+    from visinger_tpu.data.wav_processors import get_wav_processor_cls
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(0)
+    sr = 48000
+    wav = np.concatenate([
+        np.zeros(sr),                       # 1 s silence
+        rng.randn(sr).astype(np.float32) * 0.2,
+        np.zeros(2 * sr),                   # long silence to trim
+        rng.randn(sr).astype(np.float32) * 0.2,
+    ]).astype(np.float32)
+    out, out_sr = get_wav_processor_cls("resample")().process(wav, sr, cfg)
+    assert out_sr == cfg.sample_rate
+    assert abs(len(out) - len(wav) // 2) < 10
+
+    out, _ = get_wav_processor_cls("loud_norm")().process(wav, sr, cfg)
+    rms_db = 10 * np.log10(np.mean(out ** 2) + 1e-12)
+    assert abs(rms_db - (-20.0)) < 3.0
+
+    out, _ = get_wav_processor_cls("trim_sil")().process(wav, sr, cfg)
+    assert len(out) < len(wav)  # long silence shortened
+    assert len(out) > 2 * sr    # speech kept
+
+
+def test_spectral_norm_bounds_gain():
+    from visinger_tpu.modules.common import Conv1d, spectral_normalize
+
+    w = jnp.asarray(np.random.RandomState(0).randn(5, 8, 16).astype(np.float32)) * 3
+    wn = spectral_normalize(w)
+    mat = np.asarray(wn).reshape(-1, 16)
+    sigma = np.linalg.svd(mat, compute_uv=False)[0]
+    assert sigma < 1.2  # power iteration approximate, allow slack
+
+    x = jnp.ones((2, 12, 8))
+    m = Conv1d(16, 5, spectral_norm=True)
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (2, 12, 16)
+
+
+def test_disc_spectral_norm_config():
+    from visinger_tpu.models.factory import build_models, tiny_batch
+
+    cfg = tiny_config().replace(use_spectral_norm=True)
+    _, disc = build_models(cfg, 40, 96, 64)
+    wav = jnp.asarray(np.random.RandomState(0).randn(1, 2400).astype(np.float32))
+    p = disc.init(jax.random.PRNGKey(0), wav, wav)
+    # spectral-norm convs have no "g" param
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    assert not any("'g'" in jax.tree_util.keystr(path) for path, _ in flat)
+    rs, gs, fr, fg = disc.apply(p, wav, wav)
+    assert len(rs) == 1 + len(cfg.disc_periods)

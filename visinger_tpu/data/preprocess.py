@@ -281,11 +281,19 @@ class Preprocessor:
         return meta_fn
 
     def _process_wav(self, name: str, wav_fn: str, out_dir: str) -> str:
+        from visinger_tpu.data.wav_processors import get_wav_processor_cls
         from visinger_tpu.utils.audio.io import load_wav, save_wav
 
         cfg = self.cfg
         wav, sr = load_wav(wav_fn)
-        wav = resample_wav(wav, sr, cfg.sample_rate)
+        for pname in cfg.preprocess_args.get("wav_processors", ["resample"]):
+            proc_cls = get_wav_processor_cls(pname)
+            if proc_cls is None:
+                print(f"| unknown wav processor {pname!r}, skipping")
+                continue
+            wav, sr = proc_cls().process(wav, sr, cfg)
+        if sr != cfg.sample_rate:
+            wav = resample_wav(wav, sr, cfg.sample_rate)
         out_fn = os.path.join(out_dir, f"{name}.wav")
         save_wav(wav, out_fn, cfg.sample_rate)
         return out_fn

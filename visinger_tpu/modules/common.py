@@ -36,6 +36,26 @@ def _norm_over_vector(v: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(v * v, axis=axes) + 1e-12)
 
 
+def spectral_normalize(w: jax.Array, n_iters: int = 5) -> jax.Array:
+    """Stateless spectral normalization: w / sigma_max(w).
+
+    The torch wrapper persists the power-iteration vector u across steps
+    (one iteration/step); here u restarts from a fixed vector with
+    ``n_iters`` iterations under stop_gradient — same normalization without
+    mutable state inside jit (deviation documented; reference default is
+    weight_norm anyway, config/models/visinger.yaml:46).
+    """
+    mat = w.reshape(-1, w.shape[-1])
+    u = jnp.ones((mat.shape[0],), w.dtype) / np.sqrt(mat.shape[0])
+    for _ in range(n_iters):
+        v = mat.T @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u = mat @ v
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    sigma = jax.lax.stop_gradient(u @ mat @ v)
+    return w / jnp.maximum(sigma, 1e-12)
+
+
 class Conv1d(nn.Module):
     """1-D convolution, NWC layout, torch-Conv1d-compatible defaults.
 
@@ -51,6 +71,7 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     padding: int | None = None          # None -> torch same-length padding
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: jnp.dtype = jnp.float32
@@ -61,7 +82,9 @@ class Conv1d(nn.Module):
         assert in_ch % self.groups == 0
         kshape = (self.kernel_size, in_ch // self.groups, self.features)
         v = self.param("kernel", self.kernel_init, kshape)
-        if self.weight_norm:
+        if self.spectral_norm:
+            w = spectral_normalize(v)
+        elif self.weight_norm:
             g = self.param("g", lambda _key: _norm_over_vector(v))
             w = v * (g / _norm_over_vector(v))
         else:
@@ -136,6 +159,7 @@ class Conv2dP(nn.Module):
     kernel_h: int
     stride_h: int = 1
     weight_norm: bool = True
+    spectral_norm: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: jnp.dtype = jnp.float32
 
@@ -144,7 +168,9 @@ class Conv2dP(nn.Module):
         in_ch = x.shape[-1]
         kshape = (self.kernel_h, 1, in_ch, self.features)
         v = self.param("kernel", self.kernel_init, kshape)
-        if self.weight_norm:
+        if self.spectral_norm:
+            w = spectral_normalize(v)
+        elif self.weight_norm:
             g = self.param("g", lambda _key: _norm_over_vector(v))
             w = v * (g / _norm_over_vector(v))
         else:

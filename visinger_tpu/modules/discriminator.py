@@ -31,6 +31,7 @@ class DiscriminatorP(nn.Module):
     stride: int = 3
     channels: Sequence[int] = (32, 128, 512, 1024)  # reference widths
     dtype: jnp.dtype = jnp.float32
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -42,17 +43,20 @@ class DiscriminatorP(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
             t = t + n_pad
         x = x.reshape(b, t // p, p, 1).astype(self.dtype)  # NHWC
+        sn = self.use_spectral_norm
         fmap = []
         for i, ch in enumerate(self.channels):
             x = Conv2dP(ch, self.kernel_size, self.stride, dtype=self.dtype,
+                        weight_norm=not sn, spectral_norm=sn,
                         name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = Conv2dP(self.channels[-1], self.kernel_size, 1, dtype=self.dtype,
-                    name="conv_4")(x)
+                    weight_norm=not sn, spectral_norm=sn, name="conv_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = Conv2dP(1, 3, 1, dtype=self.dtype, name="conv_post")(x)
+        x = Conv2dP(1, 3, 1, dtype=self.dtype, weight_norm=not sn,
+                    spectral_norm=sn, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -60,6 +64,7 @@ class DiscriminatorP(nn.Module):
 class DiscriminatorS(nn.Module):
     base: int = 16  # reference widths: 16/64/256/1024/1024/1024
     dtype: jnp.dtype = jnp.float32
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -75,14 +80,17 @@ class DiscriminatorS(nn.Module):
             (64 * m, 41, 4, min(256, 16 * m)),
             (64 * m, 5, 1, 1),
         ]
+        sn = self.use_spectral_norm
         fmap = []
         for i, (ch, k, s, groups) in enumerate(specs):
             pad = 7 if k == 15 else (20 if k == 41 else 2)
             x = Conv1d(ch, k, stride=s, groups=groups, padding=pad,
-                       weight_norm=True, dtype=self.dtype, name=f"conv_{i}")(x)
+                       weight_norm=not sn, spectral_norm=sn,
+                       dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv1d(1, 3, weight_norm=True, dtype=self.dtype, name="conv_post")(x)
+        x = Conv1d(1, 3, weight_norm=not sn, spectral_norm=sn,
+                   dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -92,14 +100,18 @@ class MultiPeriodDiscriminator(nn.Module):
     s_base: int = 16                                  # DiscriminatorS width
     p_channels: Sequence[int] = (32, 128, 512, 1024)  # DiscriminatorP widths
     dtype: jnp.dtype = jnp.float32
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps)."""
         discs = [DiscriminatorS(base=self.s_base, dtype=self.dtype,
+                                use_spectral_norm=self.use_spectral_norm,
                                 name="disc_s")] + [
             DiscriminatorP(p, channels=tuple(self.p_channels),
-                           dtype=self.dtype, name=f"disc_p{p}")
+                           dtype=self.dtype,
+                           use_spectral_norm=self.use_spectral_norm,
+                           name=f"disc_p{p}")
             for p in self.periods
         ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []

@@ -58,3 +58,52 @@ class WaveNet(nn.Module):
                 out = out + Conv1d(c, 1, weight_norm=True, dtype=self.dtype,
                                    name=f"res_skip_{i}")(acts)
         return out * x_mask
+
+
+def effective_conv_weight(p: dict) -> jnp.ndarray:
+    """Weight-norm Conv1d params -> effective kernel g * v/||v||."""
+    v = p["kernel"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1)) + 1e-12)
+    return v * (p["g"] / norm)
+
+
+def fused_forward_from_params(params: dict, x, x_mask, g=None,
+                              n_layers: int | None = None,
+                              t_blk: int = 256):
+    """Run the Pallas fused WaveNet kernel from a WaveNet module's params.
+
+    Numerically identical to WaveNet.__call__ in eval mode (validated to
+    ~1e-6 in tests/test_pallas.py); forward only — use on inference paths.
+
+    Args:
+      params: the WaveNet module's params dict ({'in_0': .., 'res_skip_0': ..,
+        optionally 'cond_layer': ..}).
+      x: [B, T, C]; x_mask: [B, T, 1]; g: [B, 1, gin] or None.
+    """
+    from visinger_tpu.ops.pallas.wavenet_kernel import wavenet_fused_forward
+
+    if n_layers is None:
+        n_layers = sum(1 for k in params if k.startswith("in_"))
+    c = x.shape[-1]
+    w_in = jnp.stack([effective_conv_weight(params[f"in_{i}"])
+                      for i in range(n_layers)])
+    b_in = jnp.stack([params[f"in_{i}"]["bias"] for i in range(n_layers)])
+    w_rs_list, b_rs_list = [], []
+    for i in range(n_layers):
+        w = effective_conv_weight(params[f"res_skip_{i}"])[0]
+        bb = params[f"res_skip_{i}"]["bias"]
+        if i == n_layers - 1:  # final C->C skip-only layer -> skip half
+            w = jnp.concatenate([jnp.zeros((c, c), w.dtype), w], axis=1)
+            bb = jnp.concatenate([jnp.zeros((c,), bb.dtype), bb])
+        w_rs_list.append(w)
+        b_rs_list.append(bb)
+    g_bias = None
+    if g is not None and "cond_layer" in params:
+        cond = params["cond_layer"]
+        w_c = effective_conv_weight(cond)[0]
+        g_bias = (g[:, 0] @ w_c + cond["bias"]).reshape(
+            g.shape[0], n_layers, 2 * c)
+    out = wavenet_fused_forward(
+        x, w_in, b_in, jnp.stack(w_rs_list), jnp.stack(b_rs_list),
+        g_bias=g_bias, mask=x_mask, t_blk=t_blk)
+    return out * x_mask

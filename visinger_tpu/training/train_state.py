@@ -51,6 +51,10 @@ def make_optimizers(cfg) -> tuple[optax.GradientTransformation, optax.GradientTr
         optax.clip_by_global_norm(cfg.clip_grad_norm),
         optax.adamw(sched, weight_decay=cfg.get("disc_weight_decay", 0.0), **common),
     )
+    accum = int(cfg.get("accumulate_grad_batches", 1))
+    if accum > 1:  # reference trainer.py:339,368 semantics via optax.MultiSteps
+        opt_g = optax.MultiSteps(opt_g, accum)
+        opt_d = optax.MultiSteps(opt_d, accum)
     return opt_g, opt_d
 
 

@@ -20,6 +20,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from visinger_tpu.ops.masking import slice_segments
 from visinger_tpu.ops.stft import (
@@ -111,6 +112,9 @@ def make_train_step(cfg, model, disc) -> Callable[[TrainState, dict], tuple[Trai
 
         (total_g, aux), grads_g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             state.params_g, state.params_d, batch, state.step, rngs)
+        # grad-norm metric doubles as the NaN tripwire (the reference's
+        # print_nan_grads, trainer.py:358-365): non-finite shows up here.
+        gnorm = optax.global_norm(grads_g)
         updates_g, opt_state_g = opt_g.update(grads_g, state.opt_state_g,
                                               state.params_g)
         params_g = jax.tree.map(lambda p, u: p + u, state.params_g, updates_g)
@@ -141,6 +145,7 @@ def make_train_step(cfg, model, disc) -> Callable[[TrainState, dict], tuple[Trai
         metrics = {k: v for k, v in aux["losses"].items()}
         metrics["total_g"] = total_g
         metrics["disc"] = loss_d
+        metrics["gnorm_g"] = gnorm
         new_state = TrainState(
             params_g=params_g, params_d=params_d,
             opt_state_g=opt_state_g, opt_state_d=opt_state_d,

@@ -106,11 +106,20 @@ class Trainer:
         step = start_step
         epoch = 0
         t_start = time.time()
+        # jax.profiler trace window (SURVEY §5.1 rebuild note): set
+        # profile_dir to capture steps [profile_start, profile_start+5)
+        profile_dir = cfg.get("profile_dir", "")
+        profile_start = int(cfg.get("profile_start_step", 10))
         while step < max_updates:
             for batch in train_ds.batches(seed=cfg.seed + epoch):
+                if profile_dir and step == profile_start:
+                    jax.profiler.start_trace(profile_dir)
                 batch = shard_batch(batch, self.mesh)
                 state, metrics = step_fn(state, batch)
                 step += 1
+                if profile_dir and step == profile_start + 5:
+                    jax.block_until_ready(state)
+                    jax.profiler.stop_trace()
                 for k, v in metrics.items():
                     meters[k].append(v)
                 if step % cfg.tb_log_interval == 0 and self.logger:
