@@ -103,6 +103,26 @@ def cmd_infer(args):
     print(f"| wrote {args.out} (RTF {rtf:.3f})")
 
 
+def cmd_test(args):
+    """Synthesize the test split from the latest checkpoint + report RTF."""
+    from visinger_tpu.models.factory import init_state
+    from visinger_tpu.training.checkpoint import restore_latest
+    from visinger_tpu.training.trainer import Trainer
+
+    cfg = _resolve_config(args)
+    tr = Trainer(cfg)
+    from visinger_tpu.data.dataset import VISingerDataset
+
+    ds = VISingerDataset(cfg, cfg.train_set_name)
+    first = next(ds.batches(shuffle=False))
+    state = tr._init_state(first)
+    state, step = restore_latest(cfg.work_dir, state)
+    if step == 0:
+        raise SystemExit(f"no checkpoint in {cfg.work_dir}")
+    print(f"| testing from step {step}")
+    tr.test(state)
+
+
 def cmd_synth_data(args):
     from visinger_tpu.data.synthetic_corpus import generate_corpus
 
@@ -117,7 +137,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("train", cmd_train), ("preprocess", cmd_preprocess),
                      ("binarize", cmd_binarize), ("infer", cmd_infer),
-                     ("synth-data", cmd_synth_data)]:
+                     ("test", cmd_test), ("synth-data", cmd_synth_data)]:
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="")
         sp.add_argument("--exp_name", default="")

@@ -52,11 +52,13 @@ def ctc_loss(log_probs: jax.Array, mel_lengths: jax.Array,
     log_probs: [B, T_frame, vocab] (already log-softmaxed is fine — optax
     re-normalizes and log_softmax is idempotent).
     """
+    from visinger_tpu.ops.ctc import ctc_loss_fast
+
     t = log_probs.shape[1]
     n = text_tokens.shape[1]
     logit_pad = (jnp.arange(t)[None, :] >= mel_lengths[:, None]).astype(jnp.float32)
     label_pad = (jnp.arange(n)[None, :] >= text_lengths[:, None]).astype(jnp.float32)
-    per_seq = optax.ctc_loss(log_probs, logit_pad, text_tokens, label_pad, blank_id=0)
+    per_seq = ctc_loss_fast(log_probs, logit_pad, text_tokens, label_pad, blank_id=0)
     per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)  # zero_infinity
     per_seq = per_seq / jnp.maximum(text_lengths.astype(jnp.float32), 1.0)
     return jnp.mean(per_seq) * lambda_ctc

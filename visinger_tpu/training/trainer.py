@@ -199,6 +199,49 @@ class Trainer:
             if done >= n_items:
                 return
 
+    def test(self, state, out_dir: str | None = None) -> list[dict]:
+        """Synthesize the test split and measure RTF per item (reference
+        VISingerTask.test_step, tasks/visinger.py:244-263)."""
+        import json as _json
+
+        from visinger_tpu.ops.stft import power_spectrogram  # noqa: F401
+        from visinger_tpu.utils.audio.io import save_wav
+
+        cfg = self.cfg
+        test_ds = VISingerDataset(cfg, cfg.test_set_name)
+        out_dir = out_dir or os.path.join(
+            self.work_dir, f"generated_{int(jax.device_get(state.step))}")
+        os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+        if self._render_fn is None:
+            self.render_valid(state, test_ds, 0, n_items=0)  # builds _render_fn
+        results = []
+        for batch in test_ds.batches(max_sentences=cfg.max_sentences,
+                                     shuffle=False):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            t0 = time.time()
+            wavs = np.asarray(jax.block_until_ready(self._render_fn(
+                state.params_g, jb, jax.random.PRNGKey(0))))
+            dt = time.time() - t0
+            batch_audio_s = float(np.sum(batch["mel_lengths"])) \
+                * cfg.hop_size / cfg.sample_rate
+            for i in range(wavs.shape[0]):
+                t = int(batch["mel_lengths"][i])
+                wav = wavs[i, : t * cfg.hop_size]
+                fn = f"item_{len(results):04d}_synth.wav"
+                save_wav(wav, os.path.join(out_dir, "wavs", fn),
+                         cfg.sample_rate, norm=cfg.get("out_wav_norm", True))
+                results.append({
+                    "wav_fn_pred": fn,
+                    "audio_s": t * cfg.hop_size / cfg.sample_rate,
+                    "rtf": dt / max(batch_audio_s, 1e-9),
+                })
+        with open(os.path.join(out_dir, "results.json"), "w") as f:
+            _json.dump(results, f, indent=1)
+        if results:
+            mean_rtf = float(np.mean([r["rtf"] for r in results]))
+            print(f"| test: {len(results)} items, mean RTF {mean_rtf:.3f}")
+        return results
+
     def evaluate(self, state, valid_ds, max_batches: int | None = None,
                  eval_fn=None) -> float:
         cfg = self.cfg
