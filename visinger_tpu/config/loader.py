@@ -48,10 +48,21 @@ class Config(Mapping):
 
     # Attribute access ------------------------------------------------------
     def __getattr__(self, key: str) -> Any:
+        # guard dunder/underscore lookups (e.g. during unpickling, before
+        # _data exists __getattr__('_data') would recurse forever)
+        if key.startswith("_"):
+            raise AttributeError(key)
         try:
             return self[key]
         except KeyError as e:
             raise AttributeError(key) from e
+
+    # pickling (Mapping's default pickle path would hit __getattr__)
+    def __getstate__(self):
+        return self._data
+
+    def __setstate__(self, state):
+        object.__setattr__(self, "_data", state)
 
     def __setattr__(self, key: str, value: Any):
         raise TypeError("Config is immutable; use .replace(**updates)")

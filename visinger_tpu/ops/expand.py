@@ -25,6 +25,26 @@ def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
     return jnp.take_along_axis(h_pad, jnp.broadcast_to(idx, (*mel2token.shape, h.shape[-1])), axis=1)
 
 
+def mel2ph_to_mel2word(mel2ph: jax.Array, ph2word: jax.Array) -> jax.Array:
+    """Frame->phoneme map + phoneme->word map -> frame->word map
+    (align_ops.py:5-8 semantics); index 0 stays padding."""
+    ph2word_pad = jnp.concatenate(
+        [jnp.zeros_like(ph2word[:, :1]), ph2word], axis=1)
+    return jnp.take_along_axis(ph2word_pad, mel2ph, axis=1)
+
+
+def build_word_mask(x2word: jax.Array, y2word: jax.Array) -> jax.Array:
+    """[B, Tx], [B, Ty] -> [B, Tx, Ty] mask where both map to the same word
+    (align_ops.py:11-13)."""
+    return (x2word[:, :, None] == y2word[:, None, :]) & (x2word[:, :, None] > 0)
+
+
+def clip_mel2token_to_multiple(mel2token: jax.Array, frames_multiple: int) -> jax.Array:
+    """Truncate the frame axis to a multiple (align_ops.py:16-19)."""
+    t = (mel2token.shape[1] // frames_multiple) * frames_multiple
+    return mel2token[:, :t]
+
+
 def mel2token_to_dur(mel2token: jax.Array, t_tokens: int) -> jax.Array:
     """Recover per-token durations from a frame->token map (scatter-add).
 

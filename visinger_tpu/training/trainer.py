@@ -77,6 +77,21 @@ class Trainer:
         self.logger = MetricLogger(self.work_dir) if jax.process_index() == 0 else None
         self._render_fn = None
 
+    def _put_batch(self, batch: dict) -> dict:
+        """Host batch -> device arrays sharded over the DP mesh.  Multi-host:
+        every process builds the same global batch deterministically and
+        contributes its contiguous slice (parallel/multihost.py)."""
+        if jax.process_count() > 1:
+            from visinger_tpu.parallel.multihost import (
+                global_batch_from_local,
+                host_batch_slice,
+            )
+
+            sl = host_batch_slice(next(iter(batch.values())).shape[0])
+            local = {k: v[sl] for k, v in batch.items()}
+            return global_batch_from_local(local, self.mesh)
+        return shard_batch(batch, self.mesh)
+
     # ------------------------------------------------------------------
     def _init_state(self, example_batch: dict):
         from visinger_tpu.models.factory import init_params
@@ -92,6 +107,8 @@ class Trainer:
         max_updates = max_updates or cfg.max_updates
         train_ds = VISingerDataset(cfg, cfg.train_set_name)
         valid_ds = VISingerDataset(cfg, cfg.valid_set_name)
+        if jax.process_index() == 0 and cfg.get("save_codes", True):
+            self._snapshot_code()
         first = next(train_ds.batches(shuffle=False))
         state = self._init_state(first)
         state, start_step = restore_latest(self.work_dir, state)
@@ -114,7 +131,7 @@ class Trainer:
             for batch in train_ds.batches(seed=cfg.seed + epoch):
                 if profile_dir and step == profile_start:
                     jax.profiler.start_trace(profile_dir)
-                batch = shard_batch(batch, self.mesh)
+                batch = self._put_batch(batch)
                 state, metrics = step_fn(state, batch)
                 step += 1
                 if profile_dir and step == profile_start + 5:
@@ -199,6 +216,19 @@ class Trainer:
             if done >= n_items:
                 return
 
+    def _snapshot_code(self):
+        """Copy the package source into the work dir for reproducibility
+        (reference save_codes, trainer.py:565-581)."""
+        import shutil
+
+        import visinger_tpu
+
+        src = os.path.dirname(visinger_tpu.__file__)
+        dst = os.path.join(self.work_dir, "codes", "visinger_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(src, dst,
+                            ignore=shutil.ignore_patterns("__pycache__"))
+
     def test(self, state, out_dir: str | None = None) -> list[dict]:
         """Synthesize the test split and measure RTF per item (reference
         VISingerTask.test_step, tasks/visinger.py:244-263)."""
@@ -255,7 +285,7 @@ class Trainer:
                 max_sentences=cfg.max_sentences, shuffle=False)):
             if i >= max_batches:
                 break
-            batch = shard_batch(batch, self.mesh)
+            batch = self._put_batch(batch)
             _, metrics = eval_fn(state, batch)
             totals.append(float(metrics["total_g"]))
         return float(np.mean(totals)) if totals else float("nan")
