@@ -54,7 +54,8 @@ def batch_by_size(lengths: np.ndarray, max_tokens: int, max_sentences: int,
 class VISingerDataset:
     """Random-access view over a binarized split."""
 
-    def __init__(self, cfg, prefix: str, data_dir: str | None = None):
+    def __init__(self, cfg, prefix: str, data_dir: str | None = None,
+                 cache_items: bool | None = None):
         self.cfg = cfg
         data_dir = data_dir or cfg.binary_data_dir
         self.reader = RecordReader(f"{data_dir}/{prefix}")
@@ -63,6 +64,11 @@ class VISingerDataset:
         seg = cfg.segment_size
         max_frames = cfg.max_frames
         self.keep = np.where((self.lengths > seg) & (self.lengths <= max_frames))[0]
+        # decoded-item RAM cache: CSD-scale data (~2 h of f16 wav) fits in
+        # host memory and per-step decode otherwise dominates step time
+        self._cache: dict[int, dict] | None = {} if (
+            cache_items if cache_items is not None
+            else bool(cfg.get("cache_dataset", True))) else None
 
     def __len__(self) -> int:
         return len(self.keep)
@@ -71,10 +77,12 @@ class VISingerDataset:
         return int(self.lengths[self.keep[i]])
 
     def __getitem__(self, i: int) -> dict:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         item = self.reader[int(self.keep[i])]
         t = len(item["mel2ph"])
         f0, uv = norm_interp_f0(np.asarray(item["f0"][:t], np.float64))
-        return {
+        out = {
             "item_name": item.get("item_name", str(i)),
             "text_tokens": np.asarray(item["ph_token"], np.int32),
             "note_pitch": np.asarray(item["note_pitch"], np.int32),
@@ -85,6 +93,9 @@ class VISingerDataset:
             "wav": np.asarray(item["wav"], np.float32),
             "spk_id": int(item.get("spk_id", 0)),
         }
+        if self._cache is not None:
+            self._cache[i] = out
+        return out
 
     # ------------------------------------------------------------------
     def collate(self, items: list[dict], frame_buckets=None, token_buckets=None) -> dict:
@@ -96,6 +107,9 @@ class VISingerDataset:
         n = _bucket_edge(max(len(it["text_tokens"]) for it in items), token_buckets)
         hop = self.hop_size
 
+        # wavs ship as int16 PCM (dequantized on device in the train step):
+        # halves host->device bytes, which dominates on tunneled TPUs
+        wav_i16 = bool(self.cfg.get("ship_wav_int16", True))
         batch = {
             "text_tokens": np.zeros((b, n), np.int32),
             "note_pitch": np.zeros((b, n), np.int32),
@@ -105,7 +119,8 @@ class VISingerDataset:
             "mel_lengths": np.zeros((b,), np.int32),
             "f0": np.zeros((b, t), np.float32),
             "uv": np.zeros((b, t), np.float32),
-            "wavs": np.zeros((b, t * hop), np.float32),
+            "wavs": np.zeros((b, t * hop),
+                             np.int16 if wav_i16 else np.float32),
             "spk_ids": np.zeros((b,), np.int32),
         }
         for i, it in enumerate(items):
@@ -119,6 +134,8 @@ class VISingerDataset:
             batch["f0"][i, :tl] = it["f0"][:tl]
             batch["uv"][i, :tl] = it["uv"][:tl]
             wav = it["wav"][: tl * hop]
+            if wav_i16:
+                wav = np.clip(wav * 32767.0, -32768, 32767).astype(np.int16)
             batch["wavs"][i, : len(wav)] = wav
             batch["spk_ids"][i] = it["spk_id"]
         return batch

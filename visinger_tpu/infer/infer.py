@@ -45,23 +45,32 @@ class VISingerInfer:
         self._infer_fn = jax.jit(self._infer, static_argnames=())
 
     # ------------------------------------------------------------------
-    def preprocess_input(self, midi_fn: str, lyrics: list[str] | None = None,
-                         pitch_control: int = 0) -> dict:
-        """MIDI file -> model input arrays (batch of 1)."""
+    def score_rows(self, midi_fn: str, lyrics: list[str] | None = None,
+                   pitch_control: int = 0) -> list[list]:
+        """MIDI file -> tokenized per-phoneme sub-note rows (9 fields)."""
         cfg = self.cfg
         midi = MidiFile(midi_fn)
         pargs = dict(cfg.preprocess_args)
         rows, _min_sil, _text = midi_to_encoding(midi, pargs, lyrics)
         _ph_list, sub_rows = split_syllables(rows, cfg)
-        # second pass with BOS/EOS; rows -> 9-field (with tokens) + transpose
         from visinger_tpu.data.preprocess import second_pass
 
-        rows9, phs, ph_tokens = second_pass(sub_rows, self.ph_encoder, 0)
+        rows9, _phs, _ph_tokens = second_pass(sub_rows, self.ph_encoder, 0)
         if pitch_control:
             for r in rows9:
                 if r[2] > 0:
                     r[2] = int(np.clip(r[2] + pitch_control,
                                        cfg.note_range[0], cfg.note_range[1] - 1))
+        return rows9
+
+    def preprocess_input(self, midi_fn: str, lyrics: list[str] | None = None,
+                         pitch_control: int = 0) -> dict:
+        """MIDI file -> model input arrays (batch of 1)."""
+        rows9 = self.score_rows(midi_fn, lyrics, pitch_control)
+        return self.rows_to_inputs(rows9)
+
+    def rows_to_inputs(self, rows9: list) -> dict:
+        cfg = self.cfg
         mel2ph, mel2note, duration, ph_list, cleaned = get_note2dur(
             [[r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[8], r[8]]
              for r in rows9],
@@ -124,19 +133,55 @@ class VISingerInfer:
         return out["wav_out"]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def divide_phrases(rows9: list, max_frames: int, hop: int, sr: int) -> list[list]:
+        """Split a long score into phrases at silence rows so each chunk fits
+        ``max_frames`` (reference divide_info bar-phrase splitting,
+        inference/visinger.py:106-148, re-keyed on silences/length)."""
+        phrases: list[list] = []
+        cur: list = []
+        cur_start = 0.0
+        for row in rows9:
+            row_end_frames = int((row[5] - cur_start) * sr / hop + 0.5)
+            is_sil = row[8][0] in ("|", "<BOS>", "<EOS>")
+            if cur and row_end_frames > max_frames and is_sil:
+                phrases.append(cur)
+                cur = []
+                cur_start = row[4]
+            # re-base times within the phrase
+            cur.append([row[0], row[1], row[2], row[3],
+                        row[4] - cur_start, row[5] - cur_start, row[6],
+                        row[7], row[8]])
+        if cur:
+            phrases.append(cur)
+        return phrases
+
     def synthesize(self, midi_fn: str, lyrics: list[str] | None = None,
                    pitch_control: int = 0, seed: int = 0) -> tuple[np.ndarray, float]:
-        """-> (waveform float32, rtf). rtf = synthesis time / audio seconds."""
-        inp = self.preprocess_input(midi_fn, lyrics, pitch_control)
-        batch, t_valid = self._pad_to_bucket(inp)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        t0 = time.perf_counter()
-        wav = self._infer_fn(self.params_g, jb, jax.random.PRNGKey(seed))
-        wav = np.asarray(jax.block_until_ready(wav))[0]
-        dt = time.perf_counter() - t0
-        wav = wav[: t_valid * self.cfg.hop_size]
-        audio_s = len(wav) / self.cfg.sample_rate
-        return wav, dt / max(audio_s, 1e-9)
+        """-> (waveform float32, rtf). rtf = synthesis time / audio seconds.
+
+        Scores longer than the largest frame bucket are split into phrases
+        at silences and synthesized chunk-by-chunk."""
+        cfg = self.cfg
+        rows9 = self.score_rows(midi_fn, lyrics, pitch_control)
+        max_frames = max(cfg.frame_buckets)
+        total_frames = int(rows9[-1][5] * cfg.sample_rate / cfg.hop_size + 0.5)
+        phrases = ([rows9] if total_frames <= max_frames else
+                   self.divide_phrases(rows9, max_frames, cfg.hop_size,
+                                       cfg.sample_rate))
+        wavs, dt_total = [], 0.0
+        for phrase in phrases:
+            inp = self.rows_to_inputs(phrase)
+            batch, t_valid = self._pad_to_bucket(inp)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            t0 = time.perf_counter()
+            wav = self._infer_fn(self.params_g, jb, jax.random.PRNGKey(seed))
+            wav = np.asarray(jax.block_until_ready(wav))[0]
+            dt_total += time.perf_counter() - t0
+            wavs.append(wav[: t_valid * cfg.hop_size])
+        wav = np.concatenate(wavs)
+        audio_s = len(wav) / cfg.sample_rate
+        return wav, dt_total / max(audio_s, 1e-9)
 
     def to_file(self, midi_fn: str, out_fn: str, **kw) -> float:
         wav, rtf = self.synthesize(midi_fn, **kw)

@@ -49,6 +49,9 @@ def make_train_step(cfg, model, disc) -> Callable[[TrainState, dict], tuple[Trai
     disc_interval = int(cfg.disc_interval)
 
     def gen_loss_fn(params_g, params_d, batch, step, rngs):
+        if batch["wavs"].dtype == jnp.int16:  # int16 PCM shipping: dequantize
+            batch = dict(batch)
+            batch["wavs"] = batch["wavs"].astype(jnp.float32) / 32767.0
         spec = batch.get("spec")
         if spec is None:
             spec = jax.lax.stop_gradient(

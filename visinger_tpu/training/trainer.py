@@ -116,8 +116,15 @@ class Trainer:
             print(f"| resumed from step {start_step}")
         train_step = make_train_step(cfg, self.model, self.disc)
         step_fn = jit_train_step(train_step, self.mesh)
-        # eval reuses the same program without donation (state reused after)
-        eval_fn = jit_train_step(train_step, self.mesh, donate_state=False)
+
+        # Eval reuses the SAME compiled program on a device-side copy of the
+        # state (donation consumes the copy, the real state survives).  A
+        # separate non-donating jit would be a second multi-minute compile on
+        # remote-compile TPU setups.
+        copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+
+        def eval_fn(state, batch):
+            return step_fn(copy_state(state), batch)
 
         meters: dict[str, list] = defaultdict(list)
         step = start_step
@@ -127,11 +134,19 @@ class Trainer:
         # profile_dir to capture steps [profile_start, profile_start+5)
         profile_dir = cfg.get("profile_dir", "")
         profile_start = int(cfg.get("profile_start_step", 10))
+        from visinger_tpu.data.prefetch import prefetch
+
         while step < max_updates:
-            for batch in train_ds.batches(seed=cfg.seed + epoch):
+            # decode + collate + host->device transfer all happen on the
+            # prefetch thread, overlapped with device compute (the tunnel
+            # transfer is the dominant host cost on this setup)
+            def device_batches(ep):
+                for b in train_ds.batches(seed=cfg.seed + ep):
+                    yield self._put_batch(b)
+
+            for batch in prefetch(device_batches(epoch)):
                 if profile_dir and step == profile_start:
                     jax.profiler.start_trace(profile_dir)
-                batch = self._put_batch(batch)
                 state, metrics = step_fn(state, batch)
                 step += 1
                 if profile_dir and step == profile_start + 5:
