@@ -91,3 +91,35 @@ def restore_latest(work_dir: str, target: Any) -> tuple[Any, int]:
         return target, 0
     state = restore_checkpoint(path, target)
     return state, int(jax.device_get(state.step))
+
+
+def warm_start(path: str, state: Any) -> Any:
+    """Shape-tolerant warm start from another experiment's checkpoint
+    (reference load_ckpt, ckpt_utils.py:28-63): overlay every leaf whose
+    path and shape match; keep the fresh init elsewhere; step/optimizer
+    state stay fresh."""
+    from flax.serialization import msgpack_restore
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    with open(path, "rb") as f:
+        raw = msgpack_restore(f.read())
+
+    def overlay(tree: dict, saved: dict, scope: str):
+        flat_t = flatten_dict(tree)
+        flat_s = flatten_dict(saved)
+        n_loaded = 0
+        for k, v in flat_t.items():
+            sv = flat_s.get(k)
+            if sv is not None and np.shape(sv) == np.shape(v):
+                flat_t[k] = np.asarray(sv, np.asarray(v).dtype)
+                n_loaded += 1
+            else:
+                print(f"| warm_start skip {scope}/{'/'.join(map(str, k))}"
+                      f" (shape {None if sv is None else np.shape(sv)}"
+                      f" vs {np.shape(v)})")
+        print(f"| warm_start {scope}: {n_loaded}/{len(flat_t)} leaves loaded")
+        return unflatten_dict(flat_t)
+
+    params_g = overlay(jax.device_get(state.params_g), raw["params_g"], "gen")
+    params_d = overlay(jax.device_get(state.params_d), raw["params_d"], "disc")
+    return state.replace(params_g=params_g, params_d=params_d)

@@ -114,6 +114,10 @@ class Trainer:
         state, start_step = restore_latest(self.work_dir, state)
         if start_step and jax.process_index() == 0:
             print(f"| resumed from step {start_step}")
+        if not start_step and cfg.get("load_ckpt", ""):
+            from visinger_tpu.training.checkpoint import warm_start
+
+            state = warm_start(cfg.load_ckpt, state)
         train_step = make_train_step(cfg, self.model, self.disc)
         step_fn = jit_train_step(train_step, self.mesh)
 
