@@ -130,6 +130,15 @@ class Trainer:
         def eval_fn(state, batch):
             return step_fn(copy_state(state), batch)
 
+        n_sanity = int(cfg.get("num_sanity_val_steps", 0))
+        if n_sanity > 0 and not start_step:
+            # crash-early validation pass before training (reference
+            # trainer.py:260-262); reuses the compiled train program
+            sanity = self.evaluate(state, valid_ds, max_batches=n_sanity,
+                                   eval_fn=eval_fn)
+            if jax.process_index() == 0:
+                print(f"| sanity val ({n_sanity} batches): {sanity:.3f}")
+
         meters: dict[str, list] = defaultdict(list)
         step = start_step
         epoch = 0
