@@ -119,16 +119,37 @@ class Trainer:
 
             state = warm_start(cfg.load_ckpt, state)
         train_step = make_train_step(cfg, self.model, self.disc)
-        step_fn = jit_train_step(train_step, self.mesh)
+
+        # One dispatch per step: metric-meter accumulation happens INSIDE the
+        # jitted program (every separately dispatched op costs a full relay
+        # round-trip on tunneled TPUs — a dozen tiny meter adds per step more
+        # than 10x'd the step time).
+        def step_with_meters(state, meters, batch):
+            new_state, metrics = train_step(state, batch)
+            return new_state, jax.tree.map(jnp.add, meters, metrics)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        step_fn = jax.jit(step_with_meters,
+                          in_shardings=(repl, repl, data),
+                          out_shardings=(repl, repl),
+                          donate_argnums=(0, 1))
+
+        # metrics pytree structure (host-side zeros template; cheap transfer)
+        metrics_shape = jax.eval_shape(train_step, state, first)[1]
+        zero_meters = lambda: {k: np.zeros((), np.float32)  # noqa: E731
+                               for k in metrics_shape}
 
         # Eval reuses the SAME compiled program on a device-side copy of the
         # state (donation consumes the copy, the real state survives).  A
-        # separate non-donating jit would be a second multi-minute compile on
-        # remote-compile TPU setups.
+        # separate non-donating jit would be a second multi-minute compile.
         copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
         def eval_fn(state, batch):
-            return step_fn(copy_state(state), batch)
+            _, m = step_fn(copy_state(state), zero_meters(), batch)
+            return None, m  # single-step sums == metrics
 
         n_sanity = int(cfg.get("num_sanity_val_steps", 0))
         if n_sanity > 0 and not start_step:
@@ -139,7 +160,8 @@ class Trainer:
             if jax.process_index() == 0:
                 print(f"| sanity val ({n_sanity} batches): {sanity:.3f}")
 
-        meters: dict[str, list] = defaultdict(list)
+        meters = jax.device_put(zero_meters(), repl)
+        meters_n = 0
         step = start_step
         epoch = 0
         t_start = time.time()
@@ -160,23 +182,23 @@ class Trainer:
             for batch in prefetch(device_batches(epoch)):
                 if profile_dir and step == profile_start:
                     jax.profiler.start_trace(profile_dir)
-                state, metrics = step_fn(state, batch)
+                state, meters = step_fn(state, meters, batch)
                 step += 1
+                meters_n += 1
                 if profile_dir and step == profile_start + 5:
                     jax.block_until_ready(state)
                     jax.profiler.stop_trace()
-                for k, v in metrics.items():
-                    meters[k].append(v)
                 if step % cfg.tb_log_interval == 0 and self.logger:
-                    avg = {k: float(np.mean([float(x) for x in v]))
-                           for k, v in meters.items()}
+                    fetched = jax.device_get(meters)  # single transfer
+                    avg = {k: float(v) / meters_n for k, v in fetched.items()}
                     avg["steps_per_s"] = cfg.tb_log_interval / max(
                         time.time() - t_start, 1e-9)
                     t_start = time.time()
                     self.logger.log(step, avg)
                     print(f"| step {step}: " + ", ".join(
                         f"{k}={v:.3f}" for k, v in sorted(avg.items())))
-                    meters.clear()
+                    meters = jax.device_put(zero_meters(), repl)
+                    meters_n = 0
                 if step % cfg.val_check_interval == 0:
                     val_loss = self.evaluate(state, valid_ds, eval_fn=eval_fn)
                     if self.logger:
