@@ -142,6 +142,33 @@ class Trainer:
         zero_meters = lambda: {k: np.zeros((), np.float32)  # noqa: E731
                                for k in metrics_shape}
 
+        # Device-resident data plane: upload the whole split once; per step
+        # only a [B] index vector crosses the wire and batch assembly
+        # (gather + static bucket slice) runs inside the compiled program.
+        # See data/device_store.py for why this matters on tunneled TPUs.
+        use_store = bool(cfg.get("device_resident_data", True))
+        est_mb = len(train_ds) * max(cfg.frame_buckets) * cfg.hop_size * 2 / 1e6
+        if est_mb > float(cfg.get("device_data_max_mb", 4096)):
+            use_store = False
+            if jax.process_index() == 0:
+                print(f"| device store disabled ({est_mb:.0f} MB > cap)")
+        if use_store:
+            from visinger_tpu.data.device_store import DeviceStore, gather_batch
+
+            idx_sharding = NamedSharding(self.mesh, P("data"))
+            train_store = DeviceStore(train_ds, sharding=repl)
+            valid_store = DeviceStore(valid_ds, sharding=repl)
+
+            def step_store(state, meters, arrays, idxs, t_b, n_b):
+                batch = gather_batch(arrays, idxs, t_b, n_b, cfg.hop_size)
+                new_state, metrics = train_step(state, batch)
+                return new_state, jax.tree.map(jnp.add, meters, metrics)
+
+            step_store_fn = jax.jit(
+                step_store, static_argnums=(4, 5),
+                in_shardings=(repl, repl, repl, idx_sharding),
+                out_shardings=(repl, repl), donate_argnums=(0, 1))
+
         # Eval reuses the SAME compiled program on a device-side copy of the
         # state (donation consumes the copy, the real state survives).  A
         # separate non-donating jit would be a second multi-minute compile.
@@ -151,12 +178,32 @@ class Trainer:
             _, m = step_fn(copy_state(state), zero_meters(), batch)
             return None, m  # single-step sums == metrics
 
+        def eval_loss(state, max_batches) -> float:
+            totals = []
+            if use_store:
+                for idxs, t_b, n_b in valid_store.plan_batches(shuffle=False):
+                    if len(totals) >= max_batches:
+                        break
+                    _, m = step_store_fn(copy_state(state),
+                                         jax.device_put(zero_meters(), repl),
+                                         valid_store.arrays,
+                                         jax.device_put(idxs, idx_sharding),
+                                         t_b, n_b)
+                    totals.append(float(jax.device_get(m["total_g"])))
+            else:
+                for i, batch in enumerate(valid_ds.batches(
+                        max_sentences=cfg.max_sentences, shuffle=False)):
+                    if i >= max_batches:
+                        break
+                    _, m = eval_fn(state, self._put_batch(batch))
+                    totals.append(float(jax.device_get(m["total_g"])))
+            return float(np.mean(totals)) if totals else float("nan")
+
         n_sanity = int(cfg.get("num_sanity_val_steps", 0))
         if n_sanity > 0 and not start_step:
             # crash-early validation pass before training (reference
             # trainer.py:260-262); reuses the compiled train program
-            sanity = self.evaluate(state, valid_ds, max_batches=n_sanity,
-                                   eval_fn=eval_fn)
+            sanity = eval_loss(state, n_sanity)
             if jax.process_index() == 0:
                 print(f"| sanity val ({n_sanity} batches): {sanity:.3f}")
 
@@ -172,17 +219,30 @@ class Trainer:
         from visinger_tpu.data.prefetch import prefetch
 
         while step < max_updates:
-            # decode + collate + host->device transfer all happen on the
-            # prefetch thread, overlapped with device compute (the tunnel
-            # transfer is the dominant host cost on this setup)
-            def device_batches(ep):
-                for b in train_ds.batches(seed=cfg.seed + ep):
-                    yield self._put_batch(b)
+            if use_store:
+                # per-step host work: one [B] int32 index transfer + dispatch
+                epoch_iter = (
+                    (jax.device_put(idxs, idx_sharding), t_b, n_b)
+                    for idxs, t_b, n_b in train_store.plan_batches(
+                        seed=cfg.seed + epoch))
+            else:
+                # decode + collate + host->device transfer on the prefetch
+                # thread, overlapped with device compute
+                def device_batches(ep):
+                    for b in train_ds.batches(seed=cfg.seed + ep):
+                        yield self._put_batch(b)
 
-            for batch in prefetch(device_batches(epoch)):
+                epoch_iter = prefetch(device_batches(epoch))
+
+            for item in epoch_iter:
                 if profile_dir and step == profile_start:
                     jax.profiler.start_trace(profile_dir)
-                state, meters = step_fn(state, meters, batch)
+                if use_store:
+                    idxs, t_b, n_b = item
+                    state, meters = step_store_fn(
+                        state, meters, train_store.arrays, idxs, t_b, n_b)
+                else:
+                    state, meters = step_fn(state, meters, item)
                 step += 1
                 meters_n += 1
                 if profile_dir and step == profile_start + 5:
@@ -200,7 +260,7 @@ class Trainer:
                     meters = jax.device_put(zero_meters(), repl)
                     meters_n = 0
                 if step % cfg.val_check_interval == 0:
-                    val_loss = self.evaluate(state, valid_ds, eval_fn=eval_fn)
+                    val_loss = eval_loss(state, cfg.eval_max_batches)
                     if self.logger:
                         self.logger.log(step, {"val_loss": val_loss}, "val")
                     save_checkpoint(self.work_dir, state,
