@@ -107,9 +107,10 @@ class VISingerDataset:
         n = _bucket_edge(max(len(it["text_tokens"]) for it in items), token_buckets)
         hop = self.hop_size
 
-        # wavs ship as int16 PCM (dequantized on device in the train step):
-        # halves host->device bytes, which dominates on tunneled TPUs
-        wav_i16 = bool(self.cfg.get("ship_wav_int16", True))
+        # optional int16 PCM shipping halves host->device bytes, but the
+        # packed 16-bit layout propagates badly through XLA on TPU (measured
+        # ~8x step slowdown) — default f32; enable only on starved links
+        wav_i16 = bool(self.cfg.get("ship_wav_int16", False))
         batch = {
             "text_tokens": np.zeros((b, n), np.int32),
             "note_pitch": np.zeros((b, n), np.int32),

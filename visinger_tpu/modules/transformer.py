@@ -28,21 +28,46 @@ from flax import linen as nn
 from visinger_tpu.modules.common import ChannelLayerNorm, Conv1d
 
 
-def _band_gather_indices(t: int, window: int):
-    """Index maps for banded relative attention, built IN-GRAPH with iota —
-    inlining a [t, t] int constant costs ~25 MB of HLO at t=1280 and chokes
-    (remote) compilation."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    d = j - i + window                       # [t, t] in [-t+w, t+w]
-    valid_k = (d >= 0) & (d <= 2 * window)
-    idx_k = jnp.clip(d, 0, 2 * window)       # gather into [2w+1] axis
+def _band_edge_mask(t: int, window: int) -> jax.Array:
+    """[t, 2w+1] mask: band offset d maps inside [0, t) for row i."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * window + 1), 0)
     dd = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * window + 1), 1)
-    jj = ii + dd - window                    # [t, 2w+1] absolute j per (i, d)
-    valid_v = (jj >= 0) & (jj < t)
-    idx_v = jnp.clip(jj, 0, t - 1)
-    return idx_k, valid_k, idx_v, valid_v
+    jj = ii + dd - window
+    return (jj >= 0) & (jj < t)
+
+
+def band_to_dense(rel: jax.Array, window: int) -> jax.Array:
+    """[..., T, 2w+1] banded values -> [..., T, T] dense (zeros off-band).
+
+    out[i, i+d-w] = rel[i, d].  Implemented with the pad/reshape skew trick
+    (flat index i*(T+1) + (d-w) == dense flat index), so forward AND backward
+    are pure pads/slices — a gather formulation here makes XLA emit a
+    scatter in the backward that runs ~30 ms per layer on TPU.
+    """
+    *lead, t, m = rel.shape
+    w = window
+    assert m == 2 * w + 1
+    rel = jnp.where(_band_edge_mask(t, w), rel, 0.0)
+    buf = jnp.pad(rel, [(0, 0)] * len(lead) + [(0, 0), (0, t + 1 - m)])
+    flat = buf.reshape(*lead, t * (t + 1))
+    flat = jax.lax.slice_in_dim(
+        jnp.pad(flat, [(0, 0)] * len(lead) + [(0, w)]), w, w + t * t,
+        axis=len(lead))
+    return flat.reshape(*lead, t, t)
+
+
+def dense_to_band(p: jax.Array, window: int) -> jax.Array:
+    """[..., T, T] dense -> [..., T, 2w+1] band: out[i, d] = p[i, i+d-w].
+
+    Inverse skew (same pad/reshape family; no gather/scatter)."""
+    *lead, t, t2 = p.shape
+    assert t == t2
+    w = window
+    flat = p.reshape(*lead, t * t)
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(w, t + w)])
+    buf = flat[..., : t * (t + 1)].reshape(*lead, t, t + 1)
+    band = buf[..., : 2 * w + 1]
+    return jnp.where(_band_edge_mask(t, w), band, 0.0)
 
 
 class RelativeMultiHeadAttention(nn.Module):
@@ -79,12 +104,10 @@ class RelativeMultiHeadAttention(nn.Module):
         scores = jnp.einsum("bhid,bhjd->bhij", qh, kh,
                             preferred_element_type=jnp.float32) * scale
 
-        idx_k, valid_k, idx_v, valid_v = _band_gather_indices(t, w)
-        # relative-key logits: [B,H,T,2w+1] -> banded [B,H,T,T]
+        # relative-key logits: [B,H,T,2w+1] -> banded [B,H,T,T] (skew trick)
         rel = jnp.einsum("bhid,md->bhim", qh, emb_rel_k,
                          preferred_element_type=jnp.float32) * scale
-        rel_abs = jnp.take_along_axis(rel, idx_k[None, None], axis=-1)
-        scores = scores + jnp.where(valid_k[None, None], rel_abs, 0.0)
+        scores = scores + band_to_dense(rel, w)
 
         scores = jnp.where(attn_mask[:, None] > 0, scores, -1e4)
         p_attn = jax.nn.softmax(scores, axis=-1)
@@ -95,8 +118,7 @@ class RelativeMultiHeadAttention(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", p_attn, vh,
                          preferred_element_type=jnp.float32)
         # relative-value contribution: w_rel[i, d] = p_attn[i, i+d-w]
-        w_rel = jnp.take_along_axis(p_attn, idx_v[None, None], axis=-1)
-        w_rel = jnp.where(valid_v[None, None], w_rel, 0.0)
+        w_rel = dense_to_band(p_attn, w)
         out = out + jnp.einsum("bhim,md->bhid", w_rel, emb_rel_v,
                                preferred_element_type=jnp.float32)
 

@@ -65,9 +65,12 @@ def ctc_loss_fast(log_probs: jax.Array, logit_paddings: jax.Array,
     can_skip = jnp.zeros((b, s), bool).at[:, 1::2].set(can_skip_lbl)
     can_skip = can_skip & (state_idx >= 2)
 
-    # gather per-frame log-probs of each extended state's label: [B, T, S]
-    state_logp = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (b, t, s)), axis=2)
+    # per-frame log-probs of each extended state's label: [B, T, S] via a
+    # one-hot matmul (a gather here puts a scatter-add in the backward —
+    # milliseconds per step on TPU; the matmul is MXU-friendly both ways)
+    ext_onehot = jax.nn.one_hot(ext, k, dtype=log_probs.dtype)  # [B, S, K]
+    state_logp = jnp.einsum("btk,bsk->bts", log_probs, ext_onehot,
+                            preferred_element_type=log_probs.dtype)
     state_logp = jnp.where(state_valid[:, None, :], state_logp, _NEG_INF)
 
     alpha0 = jnp.full((b, s), _NEG_INF)

@@ -15,14 +15,18 @@ def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
 
     Args:
       h: [B, T_tok, C] token-rate hidden states.
-      mel2token: [B, T_frame] int; 0 = padding, i>0 selects token i-1.
+      mel2token: [B, T_frame] int; 0 = padding, i>0 selects token i-1
+        (padding frames get zeros — the reference's prepended zero row).
 
-    Returns: [B, T_frame, C]; padding frames get zeros (a zero row is
-    prepended so index 0 maps to zeros, matching the reference convention).
+    Implemented as a one-hot matmul rather than a gather: the gather's
+    backward is a scatter-add, which costs milliseconds per call on TPU,
+    while the matmul (T_frame x T_tok x C, ~tens of MFLOPs) rides the MXU
+    in both directions.
     """
-    h_pad = jnp.concatenate([jnp.zeros_like(h[:, :1]), h], axis=1)
-    idx = mel2token[..., None].astype(jnp.int32)
-    return jnp.take_along_axis(h_pad, jnp.broadcast_to(idx, (*mel2token.shape, h.shape[-1])), axis=1)
+    n_tok = h.shape[1]
+    onehot = jax.nn.one_hot(mel2token - 1, n_tok, dtype=h.dtype)  # -1 -> all-0
+    return jnp.einsum("btn,bnc->btc", onehot, h,
+                      preferred_element_type=h.dtype)
 
 
 def mel2ph_to_mel2word(mel2ph: jax.Array, ph2word: jax.Array) -> jax.Array:

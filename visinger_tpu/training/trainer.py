@@ -147,7 +147,7 @@ class Trainer:
         # (gather + static bucket slice) runs inside the compiled program.
         # See data/device_store.py for why this matters on tunneled TPUs.
         use_store = bool(cfg.get("device_resident_data", True))
-        est_mb = len(train_ds) * max(cfg.frame_buckets) * cfg.hop_size * 2 / 1e6
+        est_mb = len(train_ds) * max(cfg.frame_buckets) * cfg.hop_size * 4 / 1e6
         if est_mb > float(cfg.get("device_data_max_mb", 4096)):
             use_store = False
             if jax.process_index() == 0:
@@ -155,19 +155,29 @@ class Trainer:
         if use_store:
             from visinger_tpu.data.device_store import DeviceStore, gather_batch
 
-            idx_sharding = NamedSharding(self.mesh, P("data"))
-            train_store = DeviceStore(train_ds, sharding=repl)
-            valid_store = DeviceStore(valid_ds, sharding=repl)
+            single_dev = len(self.mesh.devices.flat) == 1
+            idx_sharding = None if single_dev else NamedSharding(self.mesh, P("data"))
+            store_sharding = None if single_dev else repl
+            put_idx = (jax.device_put if single_dev
+                       else (lambda i: jax.device_put(i, idx_sharding)))
+            train_store = DeviceStore(train_ds, sharding=store_sharding)
+            valid_store = DeviceStore(valid_ds, sharding=store_sharding)
 
             def step_store(state, meters, arrays, idxs, t_b, n_b):
                 batch = gather_batch(arrays, idxs, t_b, n_b, cfg.hop_size)
                 new_state, metrics = train_step(state, batch)
                 return new_state, jax.tree.map(jnp.add, meters, metrics)
 
-            step_store_fn = jax.jit(
-                step_store, static_argnums=(4, 5),
-                in_shardings=(repl, repl, repl, idx_sharding),
-                out_shardings=(repl, repl), donate_argnums=(0, 1))
+            if single_dev:
+                # single chip: plain jit — explicit-sharding executables take
+                # a slower dispatch path on the tunneled backend
+                step_store_fn = jax.jit(step_store, static_argnums=(4, 5),
+                                        donate_argnums=(0, 1))
+            else:
+                step_store_fn = jax.jit(
+                    step_store, static_argnums=(4, 5),
+                    in_shardings=(repl, repl, repl, idx_sharding),
+                    out_shardings=(repl, repl), donate_argnums=(0, 1))
 
         # Eval reuses the SAME compiled program on a device-side copy of the
         # state (donation consumes the copy, the real state survives).  A
@@ -185,10 +195,9 @@ class Trainer:
                     if len(totals) >= max_batches:
                         break
                     _, m = step_store_fn(copy_state(state),
-                                         jax.device_put(zero_meters(), repl),
+                                         jax.device_put(zero_meters()),
                                          valid_store.arrays,
-                                         jax.device_put(idxs, idx_sharding),
-                                         t_b, n_b)
+                                         put_idx(idxs), t_b, n_b)
                     totals.append(float(jax.device_get(m["total_g"])))
             else:
                 for i, batch in enumerate(valid_ds.batches(
@@ -207,7 +216,7 @@ class Trainer:
             if jax.process_index() == 0:
                 print(f"| sanity val ({n_sanity} batches): {sanity:.3f}")
 
-        meters = jax.device_put(zero_meters(), repl)
+        meters = jax.device_put(zero_meters())
         meters_n = 0
         step = start_step
         epoch = 0
@@ -222,7 +231,7 @@ class Trainer:
             if use_store:
                 # per-step host work: one [B] int32 index transfer + dispatch
                 epoch_iter = (
-                    (jax.device_put(idxs, idx_sharding), t_b, n_b)
+                    (put_idx(idxs), t_b, n_b)
                     for idxs, t_b, n_b in train_store.plan_batches(
                         seed=cfg.seed + epoch))
             else:
@@ -257,7 +266,7 @@ class Trainer:
                     self.logger.log(step, avg)
                     print(f"| step {step}: " + ", ".join(
                         f"{k}={v:.3f}" for k, v in sorted(avg.items())))
-                    meters = jax.device_put(zero_meters(), repl)
+                    meters = jax.device_put(zero_meters())
                     meters_n = 0
                 if step % cfg.val_check_interval == 0:
                     val_loss = eval_loss(state, cfg.eval_max_batches)
