@@ -98,11 +98,15 @@ class VISingerDataset:
         return out
 
     # ------------------------------------------------------------------
-    def collate(self, items: list[dict], frame_buckets=None, token_buckets=None) -> dict:
+    def collate(self, items: list[dict], frame_buckets=None, token_buckets=None,
+                n_real: int | None = None) -> dict:
+        """``n_real``: number of real (non-duplicate-padding) items; rows at
+        index >= n_real get item_weights 0 so losses ignore them."""
         cfg = self.cfg
         frame_buckets = frame_buckets or list(cfg.frame_buckets)
         token_buckets = token_buckets or list(cfg.token_buckets)
         b = len(items)
+        n_real = b if n_real is None else n_real
         t = _bucket_edge(max(len(it["mel2ph"]) for it in items), frame_buckets)
         n = _bucket_edge(max(len(it["text_tokens"]) for it in items), token_buckets)
         hop = self.hop_size
@@ -123,6 +127,7 @@ class VISingerDataset:
             "wavs": np.zeros((b, t * hop),
                              np.int16 if wav_i16 else np.float32),
             "spk_ids": np.zeros((b,), np.int32),
+            "item_weights": (np.arange(b) < n_real).astype(np.float32),
         }
         for i, it in enumerate(items):
             nl, tl = len(it["text_tokens"]), len(it["mel2ph"])
@@ -149,9 +154,9 @@ class VISingerDataset:
 
         Size-sorted token bucketing like the reference (sort_by_len), batch
         order shuffled per epoch.  With ``pad_to_max_sentences`` the batch
-        axis is padded by repeating the last item (mask-safe: repeated items
-        are real data; loss averaging differs negligibly) so every program
-        has the same leading dim.
+        axis is padded by repeating the last item so every program has the
+        same leading dim; duplicates carry item_weights 0 so every loss
+        reduction ignores them (matches the reference's ragged batches).
         """
         cfg = self.cfg
         max_tokens = max_tokens or cfg.max_tokens
@@ -164,7 +169,8 @@ class VISingerDataset:
             rng.shuffle(batches)
         for idx in batches:
             items = [self[int(i)] for i in idx]
+            n_real = len(items)
             if pad_to_max_sentences:
                 while len(items) < max_sentences:
                     items.append(items[-1])
-            yield self.collate(items)
+            yield self.collate(items, n_real=n_real)

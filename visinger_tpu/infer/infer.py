@@ -84,7 +84,12 @@ class VISingerInfer:
         text_tokens = []
         for r in cleaned:
             text_tokens.extend(self.ph_encoder.encode(r[7]))
-        assert len(text_tokens) == max(mel2ph), (len(text_tokens), max(mel2ph))
+        if len(text_tokens) != max(mel2ph):
+            raise ValueError(
+                f"malformed score: {len(text_tokens)} phoneme tokens but the "
+                f"frame alignment covers {max(mel2ph)} tokens — the MIDI's "
+                "notes/lyrics are inconsistent (check overlapping notes, "
+                "empty lyrics, or a lyric/note count mismatch)")
         return {
             "text_tokens": np.asarray(text_tokens, np.int32),
             "note_pitch": np.asarray(note_pitch, np.int32),

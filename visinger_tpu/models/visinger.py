@@ -115,11 +115,13 @@ class VISinger(nn.Module):
 
     def __call__(self, text_tokens, pitch_tokens, dur_tokens, mel2ph,
                  spk_embed=None, spk_id=None, f0=None, uv=None, spec=None,
-                 lengths=None, infer: bool = False,
+                 lengths=None, item_weights=None, infer: bool = False,
                  deterministic: bool = True) -> dict:
         """Args mirror reference forward (models/visinger.py:71-112); ``spec``
         is the linear spectrogram [B, T_frame, num_linear_bins] (train only),
-        ``lengths`` the valid frame counts used for slice sampling."""
+        ``lengths`` the valid frame counts used for slice sampling,
+        ``item_weights`` [B] optional validity weights (0 masks an item out
+        of the KL reduction — used for batch-padding duplicates)."""
         cfg = self.cfg
         ret: dict = {}
         tgt_nonpadding = (mel2ph > 0).astype(jnp.float32)[..., None]  # [B,T,1]
@@ -149,13 +151,24 @@ class VISinger(nn.Module):
                             deterministic=deterministic).astype(jnp.float32) \
                 * tgt_nonpadding
             ret["z_p"] = z_p
+            # Optional robustness clamp (off by default for reference parity,
+            # models/visinger.py:100-101 has the raw exp(-2 logs_p)): very
+            # negative logs_p early in training blows KL up to ~1e10 for a
+            # step; clamping |logs| <= logs_clamp bounds exp(-2 logs_p).
+            logs_clamp = float(cfg.get("logs_clamp", 0.0) or 0.0)
+            if logs_clamp > 0:
+                logs_p = jnp.clip(logs_p, -logs_clamp, logs_clamp)
+                logs_q = jnp.clip(logs_q, -logs_clamp, logs_clamp)
             kl = (logs_p - logs_q - 0.5) \
                 + 0.5 * jnp.square(z_p - mu_p) * jnp.exp(-2.0 * logs_p)
             # Reference normalization (models/visinger.py:100-101): numerator
             # sums channels AND frames, denominator counts valid frames only
             # — i.e. per-frame channel-summed KL averaged over frames.
-            ret["kl"] = jnp.sum(kl * tgt_nonpadding) / jnp.maximum(
-                jnp.sum(tgt_nonpadding), 1.0)
+            kl_mask = tgt_nonpadding
+            if item_weights is not None:
+                kl_mask = kl_mask * item_weights.astype(jnp.float32)[:, None, None]
+            ret["kl"] = jnp.sum(kl * kl_mask) / jnp.maximum(
+                jnp.sum(kl_mask), 1.0)
             z_slice, ids_slice = rand_slice_segments(
                 self.make_rng("sample"), z_q, cfg.segment_size, lengths)
             ret["ids_slice"] = ids_slice

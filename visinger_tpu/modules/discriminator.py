@@ -10,7 +10,8 @@ MultiPeriodDiscriminator (models/visinger.py:138-158):
   - The ensemble is 1 x S + one P per period in (2, 3, 5, 7, 11).
 
 Layout is channels-last; the period fold maps to NHWC so the (5,1) convs
-run on the MXU.  Spectral norm is not implemented (reference default is
+run on the MXU.  ``use_spectral_norm`` switches the conv parameterization to
+the stateless spectral norm in modules/common.py (reference default is
 weight norm, config use_spectral_norm: false).
 """
 

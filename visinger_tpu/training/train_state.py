@@ -30,8 +30,15 @@ class TrainState:
     rng: jax.Array
 
 
-def make_optimizers(cfg) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
-    steps_per_epoch = int(cfg.get("steps_per_epoch", 280))
+def make_optimizers(cfg, steps_per_epoch: int | None = None
+                    ) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    # The reference decays LR once per *actual* epoch (ExponentialLR stepped
+    # with the epoch index, tasks/visinger.py:221-227).  steps_per_epoch is
+    # therefore derived from the real epoch plan by the trainer (the number
+    # of batches batch_by_size yields for the corpus) and passed in here;
+    # cfg.steps_per_epoch > 0 acts as an explicit override.
+    cfg_spe = int(cfg.get("steps_per_epoch", 0) or 0)
+    steps_per_epoch = cfg_spe or int(steps_per_epoch or 0) or 280
     sched = optax.exponential_decay(
         init_value=cfg.lr,
         transition_steps=steps_per_epoch,

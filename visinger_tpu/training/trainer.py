@@ -20,12 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from visinger_tpu.data.dataset import VISingerDataset
+from visinger_tpu.data.dataset import VISingerDataset, batch_by_size
 from visinger_tpu.models.factory import build_models
-from visinger_tpu.parallel import jit_train_step, make_mesh, shard_batch
+from visinger_tpu.parallel import make_mesh, shard_batch
 from visinger_tpu.training.checkpoint import restore_latest, save_checkpoint
 from visinger_tpu.training.train_state import create_train_state
-from visinger_tpu.training.train_step import make_train_step
+from visinger_tpu.training.train_step import (
+    make_eval_step,
+    make_train_step,
+    recon_loss_total,
+)
 from visinger_tpu.utils.text.token_encoder import build_token_encoder
 
 
@@ -118,7 +122,15 @@ class Trainer:
             from visinger_tpu.training.checkpoint import warm_start
 
             state = warm_start(cfg.load_ckpt, state)
-        train_step = make_train_step(cfg, self.model, self.disc)
+        # Per-epoch LR decay uses the ACTUAL epoch plan length (the reference
+        # steps ExponentialLR once per epoch, tasks/visinger.py:221-227);
+        # cfg.steps_per_epoch > 0 still overrides (see make_optimizers).
+        lengths = np.asarray([train_ds.item_length(i)
+                              for i in range(len(train_ds))])
+        steps_per_epoch = max(
+            len(batch_by_size(lengths, cfg.max_tokens, cfg.max_sentences)), 1)
+        train_step = make_train_step(cfg, self.model, self.disc,
+                                     steps_per_epoch=steps_per_epoch)
 
         # One dispatch per step: metric-meter accumulation happens INSIDE the
         # jitted program (every separately dispatched op costs a full relay
@@ -179,33 +191,57 @@ class Trainer:
                     in_shardings=(repl, repl, repl, idx_sharding),
                     out_shardings=(repl, repl), donate_argnums=(0, 1))
 
-        # Eval reuses the SAME compiled program on a device-side copy of the
-        # state (donation consumes the copy, the real state survives).  A
-        # separate non-donating jit would be a second multi-minute compile.
+        # Validation tracks the generator RECONSTRUCTION losses only
+        # (reference validation_step, tasks/visinger.py:187-199 — no adv/fm).
+        # Two modes:
+        #   deterministic_eval: true  — dedicated program (dropout off, fixed
+        #       sample/slice RNG); one extra compile.
+        #   deterministic_eval: false — reuse the train program on a device-
+        #       side copy of the state (donation consumes the copy) and sum
+        #       the recon metric subset; zero extra compiles (a fresh compile
+        #       is minutes through the TPU tunnel).
         copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+        det_eval = bool(cfg.get("deterministic_eval", False))
+        if det_eval:
+            eval_step = make_eval_step(cfg, self.model)
+            eval_step_fn = jax.jit(eval_step)
+            if use_store:
+                def eval_store(params_g, arrays, idxs, t_b, n_b, rng):
+                    batch = gather_batch(arrays, idxs, t_b, n_b, cfg.hop_size)
+                    return eval_step(params_g, batch, rng)
 
-        def eval_fn(state, batch):
-            _, m = step_fn(copy_state(state), zero_meters(), batch)
-            return None, m  # single-step sums == metrics
+                eval_store_fn = jax.jit(eval_store, static_argnums=(3, 4))
 
         def eval_loss(state, max_batches) -> float:
             totals = []
+            key = jax.random.PRNGKey(0)  # fixed: comparable across evals
             if use_store:
                 for idxs, t_b, n_b in valid_store.plan_batches(shuffle=False):
                     if len(totals) >= max_batches:
                         break
-                    _, m = step_store_fn(copy_state(state),
-                                         jax.device_put(zero_meters()),
-                                         valid_store.arrays,
-                                         put_idx(idxs), t_b, n_b)
-                    totals.append(float(jax.device_get(m["total_g"])))
+                    if det_eval:
+                        m = eval_store_fn(state.params_g, valid_store.arrays,
+                                          put_idx(idxs), t_b, n_b, key)
+                        totals.append(float(jax.device_get(m["total_g"])))
+                    else:
+                        _, m = step_store_fn(copy_state(state),
+                                             jax.device_put(zero_meters()),
+                                             valid_store.arrays,
+                                             put_idx(idxs), t_b, n_b)
+                        totals.append(recon_loss_total(jax.device_get(m)))
             else:
                 for i, batch in enumerate(valid_ds.batches(
                         max_sentences=cfg.max_sentences, shuffle=False)):
                     if i >= max_batches:
                         break
-                    _, m = eval_fn(state, self._put_batch(batch))
-                    totals.append(float(jax.device_get(m["total_g"])))
+                    if det_eval:
+                        m = eval_step_fn(state.params_g,
+                                         self._put_batch(batch), key)
+                        totals.append(float(jax.device_get(m["total_g"])))
+                    else:
+                        _, m = step_fn(copy_state(state), zero_meters(),
+                                       self._put_batch(batch))
+                        totals.append(recon_loss_total(jax.device_get(m)))
             return float(np.mean(totals)) if totals else float("nan")
 
         n_sanity = int(cfg.get("num_sanity_val_steps", 0))
@@ -298,6 +334,8 @@ class Trainer:
         n_items = n_items or int(cfg.get("num_valid_plots", 2))
         out_dir = os.path.join(self.work_dir, f"valid_{step}")
         os.makedirs(out_dir, exist_ok=True)
+        from visinger_tpu.utils.audio.pitch import denorm_f0
+
         if self._render_fn is None:
             def infer_fn(params_g, batch, rng):
                 out = self.model.apply(
@@ -308,7 +346,7 @@ class Trainer:
                     mel2ph=batch["mel2ph"],
                     spk_id=batch["spk_ids"],
                     infer=True, deterministic=True, rngs={"sample": rng})
-                return out["wav_out"]
+                return out["wav_out"], out.get("f0_pred")
 
             self._render_fn = jax.jit(infer_fn)
         mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
@@ -318,8 +356,10 @@ class Trainer:
         for batch in valid_ds.batches(max_sentences=cfg.max_sentences,
                                       shuffle=False):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            wavs = np.asarray(self._render_fn(
-                state.params_g, jb, jax.random.PRNGKey(step)))
+            wavs, f0_pred = self._render_fn(
+                state.params_g, jb, jax.random.PRNGKey(step))
+            wavs = np.asarray(wavs)
+            f0_pred = None if f0_pred is None else np.asarray(f0_pred)
             mels = np.asarray(log_mel_spectrogram(jnp.asarray(wavs), mel_params))
             for i in range(wavs.shape[0]):
                 if done >= n_items:
@@ -328,9 +368,23 @@ class Trainer:
                 wav = wavs[i, : t * cfg.hop_size]
                 save_wav(wav, f"{out_dir}/item{done}.wav", cfg.sample_rate,
                          norm=True)
+                # mel figure with f0 overlays + GT duration ticks (reference
+                # plot_mel/spec_to_figure, tasks/base.py:249-271,
+                # utils/plot/plot.py:14-48)
+                f0s = {}
+                if "f0" in batch and "uv" in batch:
+                    f0s["f0_gt"] = denorm_f0(batch["f0"][i][:t],
+                                             uv=batch["uv"][i][:t])
+                if f0_pred is not None:
+                    f0s["f0_pred"] = denorm_f0(
+                        f0_pred[i, :t, 0], uv=(f0_pred[i, :t, 1] > 0))
+                mel2ph = np.asarray(batch["mel2ph"][i][:t])
+                duration_gt = np.bincount(mel2ph)[1:]  # frames per token
                 save_spec_png(f"{out_dir}/item{done}_mel.png", mels[i, :t],
                               vmin=cfg.get("mel_vmin", -7),
-                              vmax=cfg.get("mel_vmax", 12))
+                              vmax=cfg.get("mel_vmax", 12),
+                              f0s=f0s or None,
+                              dur_info={"duration_gt": duration_gt})
                 done += 1
             if done >= n_items:
                 return
@@ -364,16 +418,26 @@ class Trainer:
         if self._render_fn is None:
             self.render_valid(state, test_ds, 0, n_items=0)  # builds _render_fn
         results = []
-        for batch in test_ds.batches(max_sentences=cfg.max_sentences,
-                                     shuffle=False):
+        # per_item_rtf: synthesize batch-of-1 so each item's RTF is a real
+        # wall-clock measurement (the reference tests at batch size 1,
+        # tasks/base.py:96; batched mode reports the batch-mean RTF for every
+        # item and marks it as such).
+        per_item = bool(cfg.get("per_item_rtf", False))
+        bs = 1 if per_item else cfg.max_sentences
+        for batch in test_ds.batches(max_sentences=bs, shuffle=False,
+                                     pad_to_max_sentences=not per_item):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             t0 = time.time()
-            wavs = np.asarray(jax.block_until_ready(self._render_fn(
-                state.params_g, jb, jax.random.PRNGKey(0))))
+            wavs, _ = self._render_fn(state.params_g, jb, jax.random.PRNGKey(0))
+            wavs = np.asarray(jax.block_until_ready(wavs))
             dt = time.time() - t0
-            batch_audio_s = float(np.sum(batch["mel_lengths"])) \
+            batch_audio_s = float(np.sum(
+                batch["mel_lengths"] * batch.get(
+                    "item_weights", np.ones(len(batch["mel_lengths"]))))) \
                 * cfg.hop_size / cfg.sample_rate
-            for i in range(wavs.shape[0]):
+            n_real = int(np.sum(batch.get(
+                "item_weights", np.ones(wavs.shape[0]))))
+            for i in range(n_real):
                 t = int(batch["mel_lengths"][i])
                 wav = wavs[i, : t * cfg.hop_size]
                 fn = f"item_{len(results):04d}_synth.wav"
@@ -383,6 +447,7 @@ class Trainer:
                     "wav_fn_pred": fn,
                     "audio_s": t * cfg.hop_size / cfg.sample_rate,
                     "rtf": dt / max(batch_audio_s, 1e-9),
+                    "rtf_kind": "per_item" if per_item else "batch_mean",
                 })
         with open(os.path.join(out_dir, "results.json"), "w") as f:
             _json.dump(results, f, indent=1)
@@ -391,20 +456,3 @@ class Trainer:
             print(f"| test: {len(results)} items, mean RTF {mean_rtf:.3f}")
         return results
 
-    def evaluate(self, state, valid_ds, max_batches: int | None = None,
-                 eval_fn=None) -> float:
-        cfg = self.cfg
-        max_batches = max_batches or cfg.eval_max_batches
-        if eval_fn is None:
-            eval_fn = jit_train_step(
-                make_train_step(cfg, self.model, self.disc), self.mesh,
-                donate_state=False)
-        totals = []
-        for i, batch in enumerate(valid_ds.batches(
-                max_sentences=cfg.max_sentences, shuffle=False)):
-            if i >= max_batches:
-                break
-            batch = self._put_batch(batch)
-            _, metrics = eval_fn(state, batch)
-            totals.append(float(metrics["total_g"]))
-        return float(np.mean(totals)) if totals else float("nan")

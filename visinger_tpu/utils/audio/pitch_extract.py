@@ -106,6 +106,28 @@ try:  # optional high-quality backends (absent in this image)
 except ImportError:
     pass
 
+try:  # pyworld dio+stonemask backend (reference pitch_extractors.py:53-66)
+    import pyworld  # noqa: F401
+
+    @register_pitch_extractor("pyworld")
+    def pyworld_pitch(wav, sample_rate, hop_size, f0_min=50.0,
+                      f0_max=1250.0, n_frames=None, **kw):
+        x = np.asarray(wav, np.float64)
+        if n_frames is None:
+            n_frames = len(x) // hop_size
+        frame_period = hop_size * 1000.0 / sample_rate
+        _f0, t = pyworld.dio(x, sample_rate, f0_floor=f0_min,
+                             f0_ceil=f0_max, frame_period=frame_period)
+        f0 = pyworld.stonemask(x, _f0, t, sample_rate)
+        # dio yields len(x)//hop + 1 frames; delta-pad to the mel frame
+        # count like the reference (pitch_extractors.py:60-65)
+        delta_l = n_frames - len(f0)
+        if delta_l > 0:
+            f0 = np.concatenate([f0, [f0[-1]] * delta_l])
+        return f0[:n_frames].astype(np.float32)
+except ImportError:
+    pass
+
 
 def extract_pitch(name: str, wav: np.ndarray, sample_rate: int, hop_size: int,
                   n_frames: int, f0_min: float = 50.0,

@@ -175,8 +175,15 @@ class TickTimeMap:
 
 
 def write_midi(path: str, notes: list[Note], ticks_per_beat: int = 480,
-               tempo_bpm: float = 120.0, lyrics: list[tuple[int, str]] | None = None):
-    """Tiny SMF-0 writer (for tests and synthetic corpora)."""
+               tempo_bpm: float = 120.0, lyrics: list[tuple[int, str]] | None = None,
+               time_signatures: list[tuple[int, int, int]] | None = None,
+               tempo_changes: list[tuple[int, float]] | None = None):
+    """Tiny SMF-0 writer (for tests and synthetic corpora).
+
+    ``time_signatures``: [(tick, numerator, denominator)] — denominator must
+    be a power of two.  ``tempo_changes``: [(tick, bpm)]; overrides
+    ``tempo_bpm`` when given.
+    """
 
     def varlen(v: int) -> bytes:
         out = [v & 0x7F]
@@ -186,10 +193,16 @@ def write_midi(path: str, notes: list[Note], ticks_per_beat: int = 480,
             v >>= 7
         return bytes(reversed(out))
 
-    events: list[tuple[int, bytes]] = [
-        (0, b"\xff\x51\x03" + int(60e6 / tempo_bpm).to_bytes(3, "big")),
-        (0, b"\xff\x58\x04\x04\x02\x18\x08"),
-    ]
+    events: list[tuple[int, bytes]] = []
+    for tick, bpm in (tempo_changes or [(0, tempo_bpm)]):
+        events.append(
+            (tick, b"\xff\x51\x03" + int(60e6 / bpm).to_bytes(3, "big")))
+    for tick, num, den in (time_signatures or [(0, 4, 4)]):
+        den_exp = den.bit_length() - 1
+        if 2 ** den_exp != den:
+            raise ValueError(f"denominator {den} is not a power of two")
+        events.append(
+            (tick, bytes([0xFF, 0x58, 0x04, num, den_exp, 0x18, 0x08])))
     for n in notes:
         events.append((n.start, bytes([0x90, n.pitch, n.velocity or 64])))
         events.append((n.end, bytes([0x80, n.pitch, 0])))

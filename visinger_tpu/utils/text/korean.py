@@ -9,9 +9,10 @@ Replaces the reference's g2pk/jamo dependency chain
     the normalization role of the reference's korean.json dictionaries
   - the onset/nucleus/coda syllable split used by the 3-frame rule
 
-Full g2pk pronunciation rules (liaison, assimilation, ...) are out of scope;
-when a `g2pk` package is importable it is used to preprocess the text first
-(same hook point as the reference), otherwise decomposition is direct.
+Pronunciation rules (liaison, nasal assimilation, palatalization, ㅎ rules,
+lateralization, tensification, coda neutralization) live in g2p_ko.py and
+are applied by try_g2p; when a `g2pk` package is importable it takes
+precedence (same hook point as the reference).
 """
 
 from __future__ import annotations
@@ -105,12 +106,25 @@ def normalize_text(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-def try_g2p(text: str) -> str:
-    """Run g2pk pronunciation rules when the package exists (the reference's
-    behavior); otherwise return the text unchanged."""
-    try:
-        from g2pk import G2p  # type: ignore
+_G2P_EXTERNAL = None
 
-        return G2p()(text)
-    except ImportError:
-        return text
+
+def try_g2p(text: str) -> str:
+    """Apply Korean pronunciation rules: the g2pk package when importable
+    (the reference's tool, ko_sing.py:5,176), otherwise the native
+    rule engine (utils/text/g2p_ko.py — liaison, nasal assimilation,
+    palatalization, ㅎ rules, lateralization, tensification, coda
+    neutralization).  Length-preserving either way."""
+    global _G2P_EXTERNAL
+    if _G2P_EXTERNAL is None:
+        try:
+            from g2pk import G2p  # type: ignore
+
+            _G2P_EXTERNAL = G2p()
+        except ImportError:
+            _G2P_EXTERNAL = False
+    if _G2P_EXTERNAL:
+        return _G2P_EXTERNAL(text)
+    from visinger_tpu.utils.text.g2p_ko import g2p_syllables
+
+    return g2p_syllables(text)
