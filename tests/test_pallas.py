@@ -55,3 +55,51 @@ def test_fused_wavenet_no_conditioning():
     out = fused_forward_from_params(params, x, mask, t_blk=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_use_pallas_flag_routes_wavenet():
+    """WaveNet(use_pallas=True) applies through the fused kernel and matches
+    the XLA path on identical params (the model-level `use_pallas` wiring:
+    models/visinger.py -> PosteriorEncoder/ResidualCouplingBlock)."""
+    B, T, C, L, K = 2, 64, 16, 3, 5
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.3)
+    mask = jnp.ones((B, T, 1))
+    g = jnp.asarray(rng.randn(B, 1, 8).astype(np.float32))
+    wn_xla = WaveNet(C, kernel_size=K, n_layers=L, gin_channels=8)
+    wn_pal = WaveNet(C, kernel_size=K, n_layers=L, gin_channels=8,
+                     use_pallas=True)
+    # init always takes the XLA path (kernel is forward-only) — identical
+    # param trees either way
+    params = wn_pal.init(jax.random.PRNGKey(0), x, mask, g)["params"]
+    ref = wn_xla.apply({"params": params}, x, mask, g)
+    out = wn_pal.apply({"params": params}, x, mask, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_use_pallas_model_infer():
+    """Full model infer branch with cfg.use_pallas: flow-coupling WaveNets
+    route through the kernel; wav_out matches the XLA model on the same
+    params/RNG."""
+    from visinger_tpu.data.synthetic import synthetic_batch
+    from visinger_tpu.models.factory import build_models, init_params, tiny_config
+
+    cfg = tiny_config()
+    raw = synthetic_batch(2, 12, 64, num_linear_bins=cfg.num_linear_bins,
+                          hop_size=cfg.hop_size)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    model, disc = build_models(cfg, ph_vocab=40, pitch_vocab=96, dur_vocab=64)
+    params_g, _ = init_params(cfg, model, disc, raw)
+    model_p, _ = build_models(cfg.replace(use_pallas=True), ph_vocab=40,
+                              pitch_vocab=96, dur_vocab=64)
+    kwargs = dict(text_tokens=batch["text_tokens"],
+                  pitch_tokens=batch["note_pitch"],
+                  dur_tokens=batch["note_dur"], mel2ph=batch["mel2ph"],
+                  spk_id=batch["spk_ids"], infer=True, deterministic=True)
+    rngs = {"sample": jax.random.PRNGKey(7)}
+    ref = model.apply({"params": params_g}, rngs=rngs, **kwargs)
+    out = model_p.apply({"params": params_g}, rngs=rngs, **kwargs)
+    np.testing.assert_allclose(np.asarray(out["wav_out"]),
+                               np.asarray(ref["wav_out"]),
+                               rtol=2e-3, atol=2e-4)

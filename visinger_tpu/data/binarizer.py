@@ -230,4 +230,27 @@ class Binarizer:
                 raise BinarizationError("empty f0")
             rec["f0"] = f0
             rec["pitch"] = f0_to_coarse(f0)
+            if self.bin_args.get("with_f0cwt", False):
+                # CWT prosody decomposition (reference base_binarizer.py:
+                # 309-316 — its helpers are absent upstream; see utils/
+                # audio/cwt.py for the native implementation)
+                from visinger_tpu.utils.audio.cwt import (
+                    get_cont_logf0,
+                    get_logf0_cwt,
+                )
+
+                _, cont_lf0 = get_cont_logf0(f0)
+                mean, std = float(cont_lf0.mean()), float(cont_lf0.std()) or 1.0
+                cwt_spec, _scales = get_logf0_cwt(
+                    (cont_lf0 - mean) / std, dt=hop / sr)
+                rec["cwt_spec"] = cwt_spec.astype(np.float16)
+                rec["cwt_mean"] = mean
+                rec["cwt_std"] = std
+        if self.bin_args.get("with_spk_embed", False):
+            # voice embedding (reference base_binarizer.py:154-160; pluggable
+            # registry replaces the hard resemblyzer dependency)
+            from visinger_tpu.utils.audio.spk_embed import extract_spk_embed
+
+            rec["spk_embed"] = extract_spk_embed(
+                cfg.get("spk_embed_extractor", "mel_stats"), wav, sr)
         return rec

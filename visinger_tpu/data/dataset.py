@@ -93,6 +93,8 @@ class VISingerDataset:
             "wav": np.asarray(item["wav"], np.float32),
             "spk_id": int(item.get("spk_id", 0)),
         }
+        if "spk_embed" in item:
+            out["spk_embed"] = np.asarray(item["spk_embed"], np.float32)
         if self._cache is not None:
             self._cache[i] = out
         return out
@@ -129,6 +131,9 @@ class VISingerDataset:
             "spk_ids": np.zeros((b,), np.int32),
             "item_weights": (np.arange(b) < n_real).astype(np.float32),
         }
+        if "spk_embed" in items[0]:
+            batch["spk_embed"] = np.stack(
+                [it["spk_embed"] for it in items]).astype(np.float32)
         for i, it in enumerate(items):
             nl, tl = len(it["text_tokens"]), len(it["mel2ph"])
             batch["text_tokens"][i, :nl] = it["text_tokens"]

@@ -45,6 +45,8 @@ def init_params(cfg: Config, model, disc, batch: dict, seed: int = 0):
         pitch_tokens=jnp.asarray(batch["note_pitch"]),
         dur_tokens=jnp.asarray(batch["note_dur"]),
         mel2ph=jnp.asarray(batch["mel2ph"]),
+        spk_embed=None if batch.get("spk_embed") is None
+        else jnp.asarray(batch["spk_embed"]),
         spk_id=jnp.asarray(batch["spk_ids"]),
         f0=jnp.asarray(batch["f0"]),
         uv=jnp.asarray(batch["uv"]),

@@ -69,13 +69,18 @@ class VISinger(nn.Module):
         self.frame_prior = FramePriorNetwork(
             h, cfg.ffn_filter_channels, cfg.num_heads, cfg.frame_prior_layers,
             cfg.ffn_kernel_size, cfg.p_dropout, dtype=dtype)
+        # use_pallas routes the WaveNet stacks (posterior + flow couplings)
+        # through the fused Pallas kernel on eval/inference applies
+        # (modules/wavenet.py; A/B numbers in tools/pallas_bench.py)
+        use_pallas = bool(cfg.get("use_pallas", False))
         self.posterior_encoder = PosteriorEncoder(
             h, h, cfg.posterior_wn_kernel, 1, cfg.posterior_wn_layers,
-            gin_channels=cfg.gin_channels, dtype=dtype)
+            gin_channels=cfg.gin_channels, dtype=dtype,
+            use_pallas=use_pallas)
         self.flow = ResidualCouplingBlock(
             h, h, cfg.flow_wn_kernel, 1, cfg.flow_wn_layers,
             n_flows=cfg.flow_n_flows, gin_channels=cfg.gin_channels,
-            dtype=dtype)
+            dtype=dtype, use_pallas=use_pallas)
         self.decoder = HiFiGANGenerator(
             resblock_type=str(cfg.dec_blocks),
             resblock_kernel_sizes=tuple(cfg.dec_kernel_size),

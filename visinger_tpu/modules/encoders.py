@@ -100,6 +100,7 @@ class PosteriorEncoder(nn.Module):
     n_layers: int = 16
     gin_channels: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, x_mask, key, g=None, deterministic: bool = True):
@@ -108,6 +109,7 @@ class PosteriorEncoder(nn.Module):
         x = Conv1d(self.hidden_channels, 1, dtype=self.dtype, name="pre")(x) * xm
         x = WaveNet(self.hidden_channels, self.kernel_size, self.dilation_rate,
                     self.n_layers, self.gin_channels, dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name="enc")(x, xm, g=g, deterministic=deterministic)
         stats = Conv1d(2 * self.out_channels, 1, dtype=self.dtype,
                        name="proj")(x) * xm

@@ -29,6 +29,7 @@ class ResidualCouplingLayer(nn.Module):
     gin_channels: int = 0
     mean_only: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
@@ -40,6 +41,7 @@ class ResidualCouplingLayer(nn.Module):
         h = Conv1d(self.hidden_channels, 1, dtype=self.dtype, name="pre")(x0) * x_mask
         h = WaveNet(self.hidden_channels, self.kernel_size, self.dilation_rate,
                     self.n_layers, self.gin_channels, dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name="enc")(h, x_mask, g=g, deterministic=deterministic)
         n_out = half * (1 if self.mean_only else 2)
         stats = Conv1d(n_out, 1, kernel_init=nn.initializers.zeros,
@@ -65,6 +67,7 @@ class ResidualCouplingBlock(nn.Module):
     n_flows: int = 4
     gin_channels: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
@@ -73,7 +76,8 @@ class ResidualCouplingBlock(nn.Module):
             ResidualCouplingLayer(
                 self.channels, self.hidden_channels, self.kernel_size,
                 self.dilation_rate, self.n_layers, self.gin_channels,
-                mean_only=True, dtype=self.dtype, name=f"coupling_{i}")
+                mean_only=True, dtype=self.dtype,
+                use_pallas=self.use_pallas, name=f"coupling_{i}")
             for i in range(self.n_flows)
         ]
         if not reverse:

@@ -28,11 +28,34 @@ class WaveNet(nn.Module):
     gin_channels: int = 0
     p_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Route the forward through the Pallas fused-stack kernel
+    # (ops/pallas/wavenet_kernel.py).  Init and training always take the XLA
+    # path (the kernel is forward-only); apply-time eval/inference uses the
+    # kernel when the flag is on, dilation is 1, and dropout is inactive.
+    # A/B on a v5e chip (tools/pallas_bench.py): XLA is already at the f32
+    # roofline at these shapes, so this is ~parity — kept for bigger configs
+    # and as the fusion hook, default off.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
         """x: [B, T, C]; x_mask: [B, T, 1]; g: [B, 1|T, gin] or None."""
+        if (self.use_pallas and not self.is_initializing()
+                and self.dilation_rate == 1
+                and (deterministic or self.p_dropout == 0.0)
+                and (g is None or g.shape[1] == 1)):
+            params = {}
+            for i in range(self.n_layers):
+                params[f"in_{i}"] = self.get_variable("params", f"in_{i}")
+                params[f"res_skip_{i}"] = self.get_variable(
+                    "params", f"res_skip_{i}")
+            if g is not None:
+                params["cond_layer"] = self.get_variable("params", "cond_layer")
+            return fused_forward_from_params(
+                params, x.astype(jnp.float32), x_mask.astype(jnp.float32),
+                None if g is None else g.astype(jnp.float32),
+                n_layers=self.n_layers)
         c = self.hidden_channels
         x = x.astype(self.dtype)
         x_mask = x_mask.astype(self.dtype)

@@ -18,8 +18,17 @@ Scope (v1):
 Tiling: grid (B, T/t_blk).  Each program DMAs its x tile plus an
 L*(K//2)-frame halo on each side (the stack's receptive field), computes all
 layers on the padded tile — edge garbage stays inside the shrinking halo —
-and writes the valid center.  The K-tap conv is K shifted [T, C] @ [C, 2C]
+and writes the valid center.  The K-tap conv is K shifted [T, C] @ [C, C]
 MXU matmuls.
+
+Mosaic layout rules shape the data plumbing (learned the hard way —
+"Slice shape along dimension 2 must be aligned to tiling (128)"):
+  - channels are zero-padded to a 128 multiple (the MXU pads lanes to 128
+    anyway, so the extra columns are free compute);
+  - the conv's tanh/sigmoid halves ship as SEPARATE [.., C, C] arrays so the
+    kernel never slices the lane dimension at C;
+  - biases ride in whole-array VMEM inputs indexed per layer (no augmented
+    ones-column matmul trick — that made a 193-lane operand).
 """
 
 from __future__ import annotations
@@ -28,9 +37,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_axis(a: jax.Array, axis: int, size: int) -> jax.Array:
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, size - a.shape[axis])
+    return jnp.pad(a, pad)
 
 
 def wavenet_fused_forward(x: jax.Array, w_in: jax.Array, b_in: jax.Array,
@@ -42,7 +56,7 @@ def wavenet_fused_forward(x: jax.Array, w_in: jax.Array, b_in: jax.Array,
 
     Args:
       x:     [B, T, C]
-      w_in:  [L, K, C, 2C] conv weights
+      w_in:  [L, K, C, 2C] conv weights (tanh half cols [:C], sigmoid [C:])
       b_in:  [L, 2C] conv biases
       w_rs:  [L, C, 2C] res/skip weights; the last layer's skip half is
              taken from columns [C:2C) like every other layer, so callers
@@ -59,61 +73,82 @@ def wavenet_fused_forward(x: jax.Array, w_in: jax.Array, b_in: jax.Array,
     b, t, c = x.shape
     l, k = int(w_in.shape[0]), int(w_in.shape[1])
     halo = l * (k // 2)
-    # fold the conv bias into the conditioning bias
+    c_p = -(-c // 128) * 128  # lane-aligned channels; zero pad is inert
+    # fold the conv bias into the conditioning bias; split gate halves
     if g_bias is None:
         g_all = jnp.broadcast_to(b_in[None], (b, l, 2 * c)).astype(jnp.float32)
     else:
         g_all = (g_bias + b_in[None]).astype(jnp.float32)
-    # res/skip bias folded into the matmul as an augmented input row (the
-    # kernel appends a ones column to the gate): rs = [gate, 1] @ [w_rs; b_rs]
-    w_rs_aug = jnp.concatenate([w_rs, b_rs[:, None, :]], axis=1)  # [L, C+1, 2C]
+    g_a = _pad_axis(g_all[..., :c], 2, c_p)              # [B, L, Cp]
+    g_b = _pad_axis(g_all[..., c:], 2, c_p)
+    w_in = w_in.astype(jnp.float32)
+    win_a = _pad_axis(_pad_axis(w_in[..., :c], 3, c_p), 2, c_p)  # [L,K,Cp,Cp]
+    win_b = _pad_axis(_pad_axis(w_in[..., c:], 3, c_p), 2, c_p)
+    w_rs = w_rs.astype(jnp.float32)
+    wrs_a = _pad_axis(_pad_axis(w_rs[..., :c], 2, c_p), 1, c_p)  # [L,Cp,Cp]
+    wrs_b = _pad_axis(_pad_axis(w_rs[..., c:], 2, c_p), 1, c_p)
+    b_rs = b_rs.astype(jnp.float32)
+    brs_a = _pad_axis(b_rs[..., :c], 1, c_p)             # [L, Cp]
+    brs_b = _pad_axis(b_rs[..., c:], 1, c_p)
 
     t_blk = min(t_blk, max(t, 8))
     n_tiles = -(-t // t_blk)
     t_padded = n_tiles * t_blk
     x_p = jnp.pad(x.astype(jnp.float32),
-                  ((0, 0), (halo, t_padded - t + halo), (0, 0)))
+                  ((0, 0), (halo, t_padded - t + halo), (0, c_p - c)))
     if mask is None:
         mask = jnp.ones((b, t, 1), jnp.float32)
     mask_p = jnp.pad(jnp.broadcast_to(mask.astype(jnp.float32), (b, t, c)),
-                     ((0, 0), (halo, t_padded - t + halo), (0, 0)))
+                     ((0, 0), (halo, t_padded - t + halo), (0, c_p - c)))
 
-    kernel = functools.partial(_wavenet_aug_kernel, n_layers=l, k=k, c=c,
+    kernel = functools.partial(_wavenet_kernel, n_layers=l, k=k,
                                t_blk=t_blk, halo=halo)
+    vmem = pltpu.VMEM
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # x (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # mask (HBM)
-            pl.BlockSpec((1, l, 2 * c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),                # g bias
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # w_in
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # w_rs_aug
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # x
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # mask
+            pl.BlockSpec((1, l, c_p), lambda bi, ti: (bi, 0, 0),
+                         memory_space=vmem),                      # g_a
+            pl.BlockSpec((1, l, c_p), lambda bi, ti: (bi, 0, 0),
+                         memory_space=vmem),                      # g_b
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # win_a
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # win_b
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # wrs_a
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # wrs_b
+            pl.BlockSpec((l, c_p), lambda bi, ti: (0, 0),
+                         memory_space=vmem),                      # brs_a
+            pl.BlockSpec((l, c_p), lambda bi, ti: (0, 0),
+                         memory_space=vmem),                      # brs_b
         ],
-        out_specs=pl.BlockSpec((1, t_blk, c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_padded, c), jnp.float32),
+        out_specs=pl.BlockSpec((1, t_blk, c_p), lambda bi, ti: (bi, ti, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, t_padded, c_p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((t_blk + 2 * halo, c), jnp.float32),       # h
-            pltpu.VMEM((t_blk + 2 * halo, c), jnp.float32),       # mask
-            pltpu.VMEM((t_blk + 2 * halo, c), jnp.float32),       # skip
-            pltpu.VMEM((2, 2, k, c + 1, 2 * c), jnp.float32),     # w slots
+            pltpu.VMEM((t_blk + 2 * halo, c_p), jnp.float32),     # h
+            pltpu.VMEM((t_blk + 2 * halo, c_p), jnp.float32),     # mask
+            pltpu.VMEM((t_blk + 2 * halo, c_p), jnp.float32),     # skip
+            pltpu.VMEM((2, k, c_p, c_p), jnp.float32),            # win_a slots
+            pltpu.VMEM((2, k, c_p, c_p), jnp.float32),            # win_b slots
+            pltpu.VMEM((2, c_p, c_p), jnp.float32),               # wrs_a slots
+            pltpu.VMEM((2, c_p, c_p), jnp.float32),               # wrs_b slots
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
-    )(x_p, mask_p, g_all, w_in.astype(jnp.float32),
-      w_rs_aug.astype(jnp.float32))
-    return out[:, :t, :]
+    )(x_p, mask_p, g_a, g_b, win_a, win_b, wrs_a, wrs_b, brs_a, brs_b)
+    return out[:, :t, :c]
 
 
-def _wavenet_aug_kernel(x_hbm, m_hbm, g_ref, win_hbm, brs_hbm, out_ref,
-                        h_ref, m_ref, skip_ref, w_vmem, x_sem, w_sem,
-                        *, n_layers: int, k: int, c: int, t_blk: int,
-                        halo: int):
-    """Res/skip bias rides as an augmented input row (w slot [C+1, 2C],
-    ones column appended to the gate); the mask tile re-zeroes padding rows
-    every layer, matching the reference's per-layer masking."""
+def _wavenet_kernel(x_hbm, m_hbm, ga_ref, gb_ref, wina_hbm, winb_hbm,
+                    wrsa_hbm, wrsb_hbm, brsa_ref, brsb_ref, out_ref,
+                    h_ref, m_ref, skip_ref, wina_v, winb_v, wrsa_v, wrsb_v,
+                    x_sem, w_sem, *, n_layers: int, k: int, t_blk: int,
+                    halo: int):
+    """Weights double-buffer through VMEM slots (4 DMA streams per layer);
+    the mask tile re-zeroes padding rows every layer, matching the
+    reference's per-layer masking."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tpad = t_blk + 2 * halo
@@ -125,20 +160,23 @@ def _wavenet_aug_kernel(x_hbm, m_hbm, g_ref, win_hbm, brs_hbm, out_ref,
         m_hbm.at[bi, pl.ds(ti * t_blk, tpad), :], m_ref, x_sem.at[1])
     m_dma.start()
 
-    def dma_w(slot, layer):
-        return pltpu.make_async_copy(
-            win_hbm.at[layer], w_vmem.at[slot, 0, :, :c, :], w_sem.at[slot, 0])
+    def w_dmas(slot, layer):
+        return [
+            pltpu.make_async_copy(wina_hbm.at[layer], wina_v.at[slot],
+                                  w_sem.at[slot, 0]),
+            pltpu.make_async_copy(winb_hbm.at[layer], winb_v.at[slot],
+                                  w_sem.at[slot, 1]),
+            pltpu.make_async_copy(wrsa_hbm.at[layer], wrsa_v.at[slot],
+                                  w_sem.at[slot, 2]),
+            pltpu.make_async_copy(wrsb_hbm.at[layer], wrsb_v.at[slot],
+                                  w_sem.at[slot, 3]),
+        ]
 
-    def dma_rs(slot, layer):
-        return pltpu.make_async_copy(
-            brs_hbm.at[layer], w_vmem.at[slot, 1, 0], w_sem.at[slot, 1])
-
-    dma_w(0, 0).start()
-    dma_rs(0, 0).start()
+    for dma in w_dmas(0, 0):
+        dma.start()
     x_dma.wait()
     m_dma.wait()
     skip_ref[:] = jnp.zeros_like(skip_ref)
-    ones_col = jnp.ones((tpad, 1), jnp.float32)
 
     def layer_body(i, _):
         slot = i % 2
@@ -146,31 +184,37 @@ def _wavenet_aug_kernel(x_hbm, m_hbm, g_ref, win_hbm, brs_hbm, out_ref,
 
         @pl.when(i + 1 < n_layers)
         def _():
-            dma_w(nxt, i + 1).start()
-            dma_rs(nxt, i + 1).start()
+            for dma in w_dmas(nxt, i + 1):
+                dma.start()
 
-        dma_w(slot, i).wait()
-        dma_rs(slot, i).wait()
+        for dma in w_dmas(slot, i):
+            dma.wait()
 
         h = h_ref[:]
-        acc = jnp.zeros((tpad, 2 * c), jnp.float32)
+        acc_a = jnp.zeros_like(h)
+        acc_b = jnp.zeros_like(h)
         for tap in range(k):
             shift = tap - (k // 2)
             # pltpu.roll requires non-negative shift; circular => mod tpad
             rolled = pltpu.roll(h, (-shift) % tpad, 0)
-            acc = acc + jnp.dot(rolled, w_vmem[slot, 0, tap, :c, :],
-                                preferred_element_type=jnp.float32)
-        acc = acc + g_ref[0, i][None, :]
-        gate = jnp.tanh(acc[:, :c]) * jax.nn.sigmoid(acc[:, c:])
-        gate_aug = jnp.concatenate([gate, ones_col], axis=1)      # [tpad, C+1]
-        rs = jnp.dot(gate_aug, w_vmem[slot, 1, 0],
-                     preferred_element_type=jnp.float32)           # [tpad, 2C]
+            acc_a = acc_a + jnp.dot(rolled, wina_v[slot, tap],
+                                    preferred_element_type=jnp.float32)
+            acc_b = acc_b + jnp.dot(rolled, winb_v[slot, tap],
+                                    preferred_element_type=jnp.float32)
+        gate = jnp.tanh(acc_a + ga_ref[0, i][None, :]) \
+            * jax.nn.sigmoid(acc_b + gb_ref[0, i][None, :])
+        res = jnp.dot(gate, wrsa_v[slot],
+                      preferred_element_type=jnp.float32) \
+            + brsa_ref[i][None, :]
+        skip = jnp.dot(gate, wrsb_v[slot],
+                       preferred_element_type=jnp.float32) \
+            + brsb_ref[i][None, :]
 
         @pl.when(i < n_layers - 1)
         def _():
-            h_ref[:] = (h + rs[:, :c]) * m_ref[:]
+            h_ref[:] = (h + res) * m_ref[:]
 
-        skip_ref[:] = skip_ref[:] + rs[:, c:]
+        skip_ref[:] = skip_ref[:] + skip
         return 0
 
     jax.lax.fori_loop(0, n_layers, layer_body, 0, unroll=False)

@@ -47,9 +47,23 @@ def _resolve_config(args) -> Config:
 
 
 def cmd_train(args):
+    cfg = _resolve_config(args)
+    # Multi-host bootstrap (replaces the reference's single-node NCCL setup,
+    # utils/commons/trainer.py:497-507): explicit coordinator via config/env,
+    # or jax.distributed auto-detection on TPU pods.  Must run before any
+    # backend-initializing import.
+    coord = cfg.get("coordinator_address", "") or os.environ.get(
+        "VISINGER_COORDINATOR", "")
+    n_proc = int(cfg.get("num_processes", 0) or os.environ.get(
+        "VISINGER_NUM_PROCESSES", 0) or 0)
+    proc_id = os.environ.get("VISINGER_PROCESS_ID", cfg.get("process_id"))
+    if coord or cfg.get("distributed", False):
+        from visinger_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(coord or None, n_proc or None,
+                               None if proc_id is None else int(proc_id))
     from visinger_tpu.training.trainer import Trainer
 
-    cfg = _resolve_config(args)
     Trainer(cfg).fit()
 
 

@@ -159,6 +159,13 @@ class Trainer:
         # (gather + static bucket slice) runs inside the compiled program.
         # See data/device_store.py for why this matters on tunneled TPUs.
         use_store = bool(cfg.get("device_resident_data", True))
+        if jax.process_count() > 1:
+            # multi-host feeds per-process shards through _put_batch /
+            # global_batch_from_local (parallel/multihost.py); the device
+            # store's whole-split upload is a single-controller design
+            use_store = False
+            if jax.process_index() == 0:
+                print("| device store disabled (multi-host run)")
         est_mb = len(train_ds) * max(cfg.frame_buckets) * cfg.hop_size * 4 / 1e6
         if est_mb > float(cfg.get("device_data_max_mb", 4096)):
             use_store = False
