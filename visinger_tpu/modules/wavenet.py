@@ -92,7 +92,7 @@ def effective_conv_weight(p: dict) -> jnp.ndarray:
 
 def fused_forward_from_params(params: dict, x, x_mask, g=None,
                               n_layers: int | None = None,
-                              t_blk: int = 256):
+                              t_blk: int = 512):
     """Run the Pallas fused WaveNet kernel from a WaveNet module's params.
 
     Numerically identical to WaveNet.__call__ in eval mode (validated to
