@@ -156,6 +156,8 @@ class VISinger(nn.Module):
                             deterministic=deterministic).astype(jnp.float32) \
                 * tgt_nonpadding
             ret["z_p"] = z_p
+            # posterior stats exposed for diagnostics (KL-spike tracing)
+            ret["z_q"], ret["mu_q"], ret["logs_q"] = z_q, mu_q, logs_q
             # Optional robustness clamp (off by default for reference parity,
             # models/visinger.py:100-101 has the raw exp(-2 logs_p)): very
             # negative logs_p early in training blows KL up to ~1e10 for a

@@ -36,6 +36,50 @@ def _norm_over_vector(v: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(v * v, axis=axes) + 1e-12)
 
 
+# ---------------------------------------------------------------------------
+# torch-parity default initializers.
+#
+# The reference leaves most convs/linears on torch defaults:
+# kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for the kernel and
+# U(+-1/sqrt(fan_in)) for the bias (torch nn/modules/conv.py
+# reset_parameters).  flax's lecun_normal is 1.73x wider AND unbounded —
+# measured consequence: our posterior logs_q at init reached +-10 vs
+# torch's +-4, and exp(logs_q) turned that into z_q ~ 1e9, the step-25 KL
+# spike (~1e10) and a permanently imbalanced GAN.  Matching the init
+# distribution is therefore a correctness issue for trajectory parity, not
+# a style choice.
+#
+# NOTE the reference decoder's `init_weights` (N(0,0.01), decoder.py:35,79)
+# is a silent no-op: it mutates the `.weight` tensor of already
+# weight-normed convs, which the weight_norm pre-hook recomputes from
+# weight_g/weight_v on the first forward — so the EFFECTIVE reference init
+# for HiFi-GAN convs is the construction-time kaiming_uniform, which is
+# what these defaults give (verified empirically against torch).
+# ---------------------------------------------------------------------------
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """U(+-1/sqrt(fan_in)) with fan_in = prod(shape[:-1]) — matches torch
+    Conv1d/Conv2d/Linear default for our [*, in, out] kernel layouts."""
+    bound = float(np.prod(shape[:-1])) ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_convt_kernel_init(key, shape, dtype=jnp.float32):
+    """ConvTranspose default: torch computes fan_in over dim-1 (out) and k
+    for its [in, out, k] weight; ours is [k, in, out] -> fan = k * out."""
+    bound = float(shape[0] * shape[-1]) ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    bound = float(fan_in) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def spectral_normalize(w: jax.Array, n_iters: int = 5) -> jax.Array:
     """Stateless spectral normalization: w / sigma_max(w).
 
@@ -73,7 +117,7 @@ class Conv1d(nn.Module):
     weight_norm: bool = False
     spectral_norm: bool = False
     padding: int | None = None          # None -> torch same-length padding
-    kernel_init: Callable = nn.initializers.lecun_normal()
+    kernel_init: Callable = torch_kernel_init
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,7 +146,10 @@ class Conv1d(nn.Module):
             feature_group_count=self.groups,
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param(
+                "bias",
+                torch_bias_init((in_ch // self.groups) * self.kernel_size),
+                (self.features,))
             y = y + b.astype(self.dtype)
         return y
 
@@ -120,7 +167,7 @@ class ConvTranspose1d(nn.Module):
     stride: int
     use_bias: bool = True
     weight_norm: bool = True
-    kernel_init: Callable = nn.initializers.normal(stddev=0.01)
+    kernel_init: Callable = torch_convt_kernel_init
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,7 +193,8 @@ class ConvTranspose1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", torch_bias_init(k * self.features),
+                           (self.features,))
             y = y + b.astype(self.dtype)
         return y
 
@@ -160,7 +208,7 @@ class Conv2dP(nn.Module):
     stride_h: int = 1
     weight_norm: bool = True
     spectral_norm: bool = False
-    kernel_init: Callable = nn.initializers.lecun_normal()
+    kernel_init: Callable = torch_kernel_init
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -183,7 +231,8 @@ class Conv2dP(nn.Module):
             padding=[(pad_h, pad_h), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param("bias", torch_bias_init(self.kernel_h * in_ch),
+                       (self.features,))
         return y + b.astype(self.dtype)
 
 

@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from visinger_tpu.modules.common import Conv1d, TokenEmbedding, positional_embedding
+from visinger_tpu.modules.common import (
+    Conv1d,
+    TokenEmbedding,
+    positional_embedding,
+    torch_bias_init,
+    torch_kernel_init,
+)
 from visinger_tpu.modules.transformer import RelativeEncoder
 from visinger_tpu.modules.wavenet import WaveNet
 from visinger_tpu.ops.expand import expand_states
@@ -55,9 +61,22 @@ class TextEncoder(nn.Module):
             ],
             axis=-1,
         ).astype(self.dtype)
-        x = nn.Dense(h, dtype=self.dtype, name="linear")(emb) * nonpadding
+        x = nn.Dense(h, dtype=self.dtype, name="linear",
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(3 * h))(emb) * nonpadding
         if self.use_pos_embed:
-            x = x + positional_embedding(nonpadding[..., 0], h).astype(self.dtype)
+            pos = positional_embedding(nonpadding[..., 0], h).astype(self.dtype)
+            # Reference-faithful token-level positions are SCRAMBLED: the
+            # reference passes token_emb.shape[2] (=H, not T_ph) as seq_len
+            # (modules/visinger/encoder.py:53), so its positional table is
+            # .view()-ed [B*T*H] -> [B, H, T] and transposed
+            # (rel_transformer.py:101-102) — a deterministic reshape of the
+            # correct table, not positions.  Reproduced bit-exactly here
+            # (validated in tools/lockstep.py); frame-level positions in
+            # models/visinger.py use the correct path.
+            b, t, _ = pos.shape
+            pos = pos.reshape(b, h, t).transpose(0, 2, 1)
+            x = x + pos
         x = x * nonpadding
         x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
                             self.kernel_size, self.p_dropout, dtype=self.dtype,

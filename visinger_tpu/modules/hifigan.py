@@ -6,8 +6,13 @@ N x [leaky_relu -> weight-norm ConvTranspose up -> mean of multi-kernel
 ResBlocks] -> leaky_relu -> conv_post k7 (no bias) -> tanh.  Channel count
 halves at each upsample stage; total upsampling equals the hop size (300).
 
-Conv weights init N(0, 0.01) like the reference's init_weights
-(modules/commons/utils.py:103-106).
+Init: torch defaults (kaiming_uniform + uniform bias).  The reference's
+init_weights(N(0,0.01)) pass (decoder.py:35,79,89) is a silent no-op — it
+mutates the `.weight` tensor of already weight-normed convs, which the
+weight_norm pre-hook recomputes from weight_g/weight_v on the next forward
+— so the reference's EFFECTIVE init is the construction-time torch default,
+which is what modules/common.py's defaults now reproduce (verified
+empirically; see tools/lockstep.py).
 """
 
 from __future__ import annotations
@@ -20,9 +25,6 @@ from flax import linen as nn
 
 from visinger_tpu.modules.common import LRELU_SLOPE, Conv1d, ConvTranspose1d
 
-_hifi_init = nn.initializers.normal(stddev=0.01)
-
-
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
@@ -34,12 +36,10 @@ class ResBlock1(nn.Module):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        weight_norm=True, kernel_init=_hifi_init,
-                        dtype=self.dtype, name=f"conv1_{i}")(xt)
+                        weight_norm=True, dtype=self.dtype, name=f"conv1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=1,
-                        weight_norm=True, kernel_init=_hifi_init,
-                        dtype=self.dtype, name=f"conv2_{i}")(xt)
+                        weight_norm=True, dtype=self.dtype, name=f"conv2_{i}")(xt)
             x = x + xt
         return x
 
@@ -55,8 +55,7 @@ class ResBlock2(nn.Module):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        weight_norm=True, kernel_init=_hifi_init,
-                        dtype=self.dtype, name=f"conv_{i}")(xt)
+                        weight_norm=True, dtype=self.dtype, name=f"conv_{i}")(xt)
             x = x + xt
         return x
 
@@ -87,7 +86,7 @@ class HiFiGANGenerator(nn.Module):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(ch, k, u, weight_norm=True, dtype=self.dtype,
-                                kernel_init=_hifi_init, name=f"up_{i}")(x)
+                                name=f"up_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilations)):
