@@ -56,6 +56,8 @@ def bench_rtf():
     dtype = os.environ.get("BENCH_DTYPE")
     if dtype:
         cfg = cfg.replace(compute_dtype=dtype)
+    if os.environ.get("BENCH_PALLAS"):
+        cfg = cfg.replace(use_pallas=True)
     raw = synthetic_batch(batch_size, n_tokens, n_frames, vocab=60,
                           pitch_vocab=117, dur_vocab=98,
                           num_linear_bins=cfg.num_linear_bins,

@@ -166,3 +166,36 @@ def test_deterministic_eval_step(setup):
     assert float(m1["total_g"]) == pytest.approx(
         recon_loss_total({k: float(v) for k, v in m1.items()
                           if k != "total_g"}), rel=1e-6)
+
+
+def test_slice_ref_padded_flag(setup):
+    """slice_ref_padded: true restores the reference rand_slice regime
+    (ids drawn over the PADDED frame axis, modules/commons/utils.py:95-100);
+    default draws inside each item's valid length.  The regime measurably
+    changes GAN balance (PARITY.md "GAN balance")."""
+    cfg, batch, model, _disc, state = setup
+    short = dict(batch)
+    t_pad = int(batch["mel2ph"].shape[1])
+    seg = int(cfg.segment_size)
+    valid = t_pad // 4
+    short["mel_lengths"] = jnp.full_like(batch["mel_lengths"], valid)
+
+    def max_id(m, n_keys=40):
+        mx = -1
+        for s in range(n_keys):
+            out = m.apply(
+                {"params": state.params_g},
+                text_tokens=short["text_tokens"],
+                pitch_tokens=short["note_pitch"],
+                dur_tokens=short["note_dur"], mel2ph=short["mel2ph"],
+                spk_id=short["spk_ids"], f0=short["f0"], uv=short["uv"],
+                spec=short["spec"], lengths=short["mel_lengths"],
+                infer=False, deterministic=True,
+                rngs={"sample": jax.random.PRNGKey(s)})
+            mx = max(mx, int(jnp.max(out["ids_slice"])))
+        return mx
+
+    model_ref, _ = build_models(cfg.replace(slice_ref_padded=True),
+                                ph_vocab=40, pitch_vocab=96, dur_vocab=64)
+    assert max_id(model) <= valid - seg  # default: inside valid region
+    assert max_id(model_ref) > valid     # reference regime: padded range

@@ -242,6 +242,11 @@ def main():
                     help="run N deterministic lockstep training steps on "
                          "the same batch in both frameworks and compare "
                          "loss trajectories")
+    ap.add_argument("--cycle", action="store_true",
+                    help="with --train: cycle through the real corpus "
+                         "batches in identical order on both sides instead "
+                         "of repeating one batch (true data regime, still "
+                         "zero-stochasticity)")
     args = ap.parse_args()
 
     import jax
@@ -412,17 +417,26 @@ def main():
                   f"ratio={jn / max(tn, 1e-12):8.3f}")
 
     if args.train:
+        regime = ("cycling real corpus batches, identical order"
+                  if args.cycle else "same batch every step")
         print(f"\n=== {args.train}-step deterministic lockstep training "
-              "(same batch every step)")
+              f"({regime})")
         from visinger_tpu.training.train_state import create_train_state
         from visinger_tpu.training.train_step import make_train_step
+
+        if args.cycle:
+            raw_seq = list(ds.batches(shuffle=False))
+            jbatches = [{k: jnp.asarray(v) for k, v in r.items()}
+                        for r in raw_seq]
+        else:
+            raw_seq, jbatches = [raw], [batch]
 
         state = create_train_state(cfg, params_g, params_d,
                                    jax.random.PRNGKey(cfg.seed))
         step_fn = jax.jit(make_train_step(cfg, model, disc))
         jrows = []
         for i in range(args.train):
-            state, m = step_fn(state, batch)
+            state, m = step_fn(state, jbatches[i % len(jbatches)])
             jrows.append({k: float(v) for k, v in m.items()})
 
         torch.manual_seed(0)
@@ -435,10 +449,17 @@ def main():
                                   betas=(hp["optimizer_adam_beta1"],
                                          hp["optimizer_adam_beta2"]),
                                   weight_decay=0.0, eps=hp["eps"])
+        if args.cycle:
+            tsamples = [tb._np_batch_to_torch(
+                torch, {k: np.asarray(v) for k, v in r.items()
+                        if k != "item_weights"}, spec_fn) for r in raw_seq]
+        else:
+            tsamples = [sample]
         trows = []
         for i in range(args.train):
             tl_i = tb._reference_step(torch, tmodel, tdisc, opt_g, opt_d,
-                                      hp, sample, i + 1, spec_fn, mel_fn)
+                                      hp, tsamples[i % len(tsamples)],
+                                      i + 1, spec_fn, mel_fn)
             trows.append(tl_i)
         keys = ("kl_v", "mel_l1", "ctc", "adv", "fm", "disc")
         hdr = "step " + " ".join(f"{k+'(j/t)':>22}" for k in keys)

@@ -176,8 +176,17 @@ class VISinger(nn.Module):
                 kl_mask = kl_mask * item_weights.astype(jnp.float32)[:, None, None]
             ret["kl"] = jnp.sum(kl * kl_mask) / jnp.maximum(
                 jnp.sum(kl_mask), 1.0)
+            # Reference rand_slice_segments draws ids over the PADDED batch
+            # length (modules/commons/utils.py:95-100), so with bucketed
+            # padding a large fraction of GAN slices are pure padding; by
+            # default we draw inside each item's valid length instead (the
+            # padded regime measurably weakens the discriminator — see
+            # PARITY.md "GAN balance").  slice_ref_padded: true restores the
+            # reference regime for trajectory-parity runs.
+            slice_lengths = None if cfg.get("slice_ref_padded", False) \
+                else lengths
             z_slice, ids_slice = rand_slice_segments(
-                self.make_rng("sample"), z_q, cfg.segment_size, lengths)
+                self.make_rng("sample"), z_q, cfg.segment_size, slice_lengths)
             ret["ids_slice"] = ids_slice
             ret["wav_out"] = self.decoder(z_slice, g=spk_emb)
         else:
