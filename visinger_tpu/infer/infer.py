@@ -42,7 +42,20 @@ class VISingerInfer:
             cfg, ph_vocab=len(self.ph_encoder),
             pitch_vocab=len(self.pitch_map), dur_vocab=len(self.dur_map))
         self.params_g = params_g
-        self._infer_fn = jax.jit(self._infer, static_argnames=())
+        # sp_infer: shard the frame axis of ONE score over all devices
+        # (sequence-parallel serving, parallel/sp.py); single-device default
+        # keeps the plain jit path.
+        self._sp_mesh = None
+        if cfg.get("sp_infer", False) and len(jax.devices()) > 1:
+            from visinger_tpu.parallel.sp import jit_sp_infer, make_sp_mesh
+
+            self._sp_mesh = make_sp_mesh()
+            sp_fn = jit_sp_infer(self.model, self._sp_mesh)
+            self._infer_fn = lambda params, batch, rng: sp_fn(
+                params, batch["text_tokens"], batch["note_pitch"],
+                batch["note_dur"], batch["mel2ph"], batch["spk_ids"], rng)
+        else:
+            self._infer_fn = jax.jit(self._infer, static_argnames=())
 
     # ------------------------------------------------------------------
     def score_rows(self, midi_fn: str, lyrics: list[str] | None = None,
@@ -107,6 +120,10 @@ class VISingerInfer:
         buckets = list(cfg.frame_buckets)
         ti = bisect.bisect_left(buckets, t)
         t_pad = buckets[ti] if ti < len(buckets) else t
+        if self._sp_mesh is not None:
+            from visinger_tpu.parallel.sp import pad_frames_for_mesh
+
+            t_pad = pad_frames_for_mesh(t_pad, self._sp_mesh)
         n = len(inp["text_tokens"])
         tok_buckets = list(cfg.token_buckets)
         ni = bisect.bisect_left(tok_buckets, n)
