@@ -6,19 +6,28 @@ Metric is mel-frames/s/chip for the full train step (generator fwd+bwd+update
 plus discriminator fwd+bwd+update — two backward passes per step, same as the
 reference's two-optimizer loop, tasks/visinger.py:53-89).
 
+Default shape is B=16 x T=640: the per-chip throughput knee measured by a
+same-process sweep (B=4: 36.0k, B=8: 61.6k, B=16: 70.4k, B=32: 71.8k
+mel-frames/s in one mid-tier tunnel slot — artifacts/bench_scaling.jsonl).
+B=16/chip runs the reference recipe's GLOBAL batch (max_sentences 4 x 16
+GPUs = 64, config/models/visinger.yaml:94) on 4 chips instead of 16 GPUs;
+BENCH_BATCH=4 reproduces the per-device recipe shape.
+
 vs_baseline denominator (the reference publishes no numbers, BASELINE.md):
 MEASURED on this machine with tools/torch_baseline.py, which runs the ACTUAL
-reference torch model + replicated task step at these exact shapes:
+reference torch model + replicated task step at the same shapes:
 
-    torch reference, 4-core CPU:  305 mel-frames/s   (8.39 s/step median)
-    this repo (JAX), same CPU:    234 mel-frames/s   (10.95 s/step median)
+    torch reference, 4-core CPU:  334.7 mel-frames/s @ B=16 (30.6 s/step)
+                                  305.1 mel-frames/s @ B=4  (8.39 s/step)
+    this repo (JAX), same CPU:    233.8 mel-frames/s @ B=4  (10.95 s/step)
 
-i.e. framework-for-framework the two are ~parity on identical hardware.
-The GPU-class denominator extrapolates the measured torch-CPU number by a
+i.e. framework-for-framework the two are ~parity on identical hardware, and
+torch's CPU per-frame rate is batch-insensitive (+10% at B=16).  The
+GPU-class denominator extrapolates the measured torch-CPU number by a
 documented 40x CPU->A100 factor for conv/matmul-dominated GAN vocoder
 training (A100 ~312 TF bf16 vs ~0.2 TF/core-ish attainable CPU f32; 40x is
 the conservative end of the 30-60x range we observe for torch elsewhere):
-305 * 40 = 12,200 mel-frames/s.  Every factor in that chain is recorded
+334.7 * 40 = 13,388 mel-frames/s.  Every factor in that chain is recorded
 here rather than assumed silently; re-run `python tools/torch_baseline.py
 step|jax-step` to reproduce the measured terms.
 """
@@ -37,7 +46,7 @@ from visinger_tpu.data.synthetic import synthetic_batch
 from visinger_tpu.models.factory import build_models, init_state
 from visinger_tpu.training.train_step import make_train_step
 
-TORCH_CPU_MEL_FRAMES_PER_S = 305.1    # measured (tools/torch_baseline.py step)
+TORCH_CPU_MEL_FRAMES_PER_S = 334.7    # measured @ B=16 (tools/torch_baseline.py step)
 JAX_CPU_MEL_FRAMES_PER_S = 233.8      # measured (... jax-step), same CPU
 CPU_TO_A100_FACTOR = 40.0             # documented extrapolation, see docstring
 REFERENCE_MEL_FRAMES_PER_S = TORCH_CPU_MEL_FRAMES_PER_S * CPU_TO_A100_FACTOR
@@ -125,7 +134,7 @@ def main():
 
     if os.environ.get("BENCH_MODE") == "rtf":
         return bench_rtf()
-    batch_size = int(os.environ.get("BENCH_BATCH", 4))
+    batch_size = int(os.environ.get("BENCH_BATCH", 16))
     n_frames = int(os.environ.get("BENCH_FRAMES", 640))
     n_tokens = int(os.environ.get("BENCH_TOKENS", 192))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))

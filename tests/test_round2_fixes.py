@@ -199,3 +199,21 @@ def test_slice_ref_padded_flag(setup):
                                 ph_vocab=40, pitch_vocab=96, dur_vocab=64)
     assert max_id(model) <= valid - seg  # default: inside valid region
     assert max_id(model_ref) > valid     # reference regime: padded range
+
+
+def test_logs_clamp_bounds_sampling(setup):
+    """logs_clamp must bound logs_q BEFORE sampling (not just in the KL
+    term), so exp(logs_q) cannot blow z_q up in the first training steps."""
+    cfg, batch, _model, _disc, state = setup
+    model_c, _ = build_models(cfg.replace(logs_clamp=2.0),
+                              ph_vocab=40, pitch_vocab=96, dur_vocab=64)
+    out = model_c.apply(
+        {"params": state.params_g}, text_tokens=batch["text_tokens"],
+        pitch_tokens=batch["note_pitch"], dur_tokens=batch["note_dur"],
+        mel2ph=batch["mel2ph"], spk_id=batch["spk_ids"], f0=batch["f0"],
+        uv=batch["uv"], spec=batch["spec"], lengths=batch["mel_lengths"],
+        infer=False, deterministic=True,
+        rngs={"sample": jax.random.PRNGKey(0)})
+    assert float(jnp.abs(out["logs_q"]).max()) <= 2.0 + 1e-6
+    mu_max = float(jnp.abs(out["mu_q"]).max())
+    assert float(jnp.abs(out["z_q"]).max()) <= mu_max + 3 * np.e ** 2 * 6

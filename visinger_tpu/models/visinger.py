@@ -76,7 +76,8 @@ class VISinger(nn.Module):
         self.posterior_encoder = PosteriorEncoder(
             h, h, cfg.posterior_wn_kernel, 1, cfg.posterior_wn_layers,
             gin_channels=cfg.gin_channels, dtype=dtype,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas,
+            logs_clamp=float(cfg.get("logs_clamp", 0.0) or 0.0))
         self.flow = ResidualCouplingBlock(
             h, h, cfg.flow_wn_kernel, 1, cfg.flow_wn_layers,
             n_flows=cfg.flow_n_flows, gin_channels=cfg.gin_channels,

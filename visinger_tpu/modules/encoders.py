@@ -120,6 +120,10 @@ class PosteriorEncoder(nn.Module):
     gin_channels: int = 0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # when > 0, |logs_q| is bounded BEFORE sampling so exp(logs_q) cannot
+    # blow z_q up in the first training steps (the KL term is clamped
+    # separately in models/visinger.py); 0 = reference-faithful raw stats.
+    logs_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, x, x_mask, key, g=None, deterministic: bool = True):
@@ -135,6 +139,8 @@ class PosteriorEncoder(nn.Module):
         # sampling in f32 (exp of logs needs range), z cast back downstream
         stats = stats.astype(jnp.float32)
         mu_q, logs_q = stats[..., :self.out_channels], stats[..., self.out_channels:]
+        if self.logs_clamp > 0:
+            logs_q = jnp.clip(logs_q, -self.logs_clamp, self.logs_clamp)
         eps = jax.random.normal(key, mu_q.shape, mu_q.dtype)
         z_q = (mu_q + eps * jnp.exp(logs_q)) * x_mask
         return z_q, mu_q, logs_q
