@@ -103,3 +103,25 @@ def test_use_pallas_model_infer():
     np.testing.assert_allclose(np.asarray(out["wav_out"]),
                                np.asarray(ref["wav_out"]),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_use_pallas_training_grad_takes_xla_path():
+    """Training applies (deterministic=False) must NOT route through the
+    forward-only Pallas kernel even with p_dropout=0 — jax.grad through
+    pallas_call has no AD rule and crashes (round-2 review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visinger_tpu.modules.wavenet import WaveNet
+
+    wn = WaveNet(8, kernel_size=5, dilation_rate=1, n_layers=2,
+                 p_dropout=0.0, use_pallas=True)
+    x = jnp.ones((1, 16, 8), jnp.float32)
+    m = jnp.ones((1, 16, 1), jnp.float32)
+    params = wn.init(jax.random.PRNGKey(0), x, m, deterministic=False)
+
+    def loss(p):
+        return jnp.sum(wn.apply(p, x, m, deterministic=False))
+
+    g = jax.grad(lambda p: loss(p))(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))

@@ -17,25 +17,50 @@ _SENTINEL = object()
 
 
 def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
-    """Iterate `iterable` on a daemon thread, `depth` items ahead."""
+    """Iterate `iterable` on a daemon thread, `depth` items ahead.
+
+    If the consumer abandons the generator early (e.g. the trainer breaks
+    out at max_updates mid-epoch), generator close sets ``stop`` and drains
+    the queue so the producer exits instead of blocking forever in
+    ``q.put`` while pinning up to depth+1 device-resident batches.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # release any batches the producer already queued
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -30,8 +30,10 @@ class WaveNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # Route the forward through the Pallas fused-stack kernel
     # (ops/pallas/wavenet_kernel.py).  Init and training always take the XLA
-    # path (the kernel is forward-only); apply-time eval/inference uses the
-    # kernel when the flag is on, dilation is 1, and dropout is inactive.
+    # path: the kernel is forward-only (no AD rule), so the gate requires
+    # deterministic=True — the eval/inference apply context.  Training
+    # applies pass deterministic=False (even with p_dropout 0) and must not
+    # reach the kernel or jax.grad through it fails.
     # A/B on a v5e chip (tools/pallas_bench.py): XLA is already at the f32
     # roofline at these shapes, so this is ~parity — kept for bigger configs
     # and as the fusion hook, default off.
@@ -43,7 +45,7 @@ class WaveNet(nn.Module):
         """x: [B, T, C]; x_mask: [B, T, 1]; g: [B, 1|T, gin] or None."""
         if (self.use_pallas and not self.is_initializing()
                 and self.dilation_rate == 1
-                and (deterministic or self.p_dropout == 0.0)
+                and deterministic
                 and (g is None or g.shape[1] == 1)):
             params = {}
             for i in range(self.n_layers):

@@ -123,8 +123,11 @@ def ctc_loss(log_probs: jax.Array, mel_lengths: jax.Array,
     label_pad = (jnp.arange(n)[None, :] >= text_lengths[:, None]).astype(jnp.float32)
     per_seq = ctc_loss_fast(log_probs, logit_pad, text_tokens, label_pad, blank_id=0)
     feasible = jnp.isfinite(per_seq) & (per_seq < _CTC_INF_THRESHOLD)
-    # double-where: the discarded branch must not feed NaN/overflow gradients
-    per_seq = jnp.where(feasible, jnp.where(feasible, per_seq, 0.0), 0.0)
+    # zero_infinity semantics (torch F.ctc_loss): infeasible items (fewer
+    # valid frames than labels) contribute 0.  Gradients stay finite because
+    # ctc_loss_fast floors its logsumexps at a finite -1e30 (no inf/NaN in
+    # the discarded branch — verified by test_ctc_zero_infinity_*).
+    per_seq = jnp.where(feasible, per_seq, 0.0)
     per_seq = per_seq / jnp.maximum(text_lengths.astype(jnp.float32), 1.0)
     wb = _ones_like_batch(per_seq, w)
     return jnp.sum(per_seq * wb) / jnp.maximum(jnp.sum(wb), 1.0) * lambda_ctc
