@@ -40,14 +40,50 @@ def _resolve_config(args) -> Config:
                       name=None if args.config else "visinger_csd")
     if work_dir:
         cfg = cfg.replace(work_dir=work_dir, exp_name=args.exp_name)
-        os.makedirs(work_dir, exist_ok=True)
-        with open(os.path.join(work_dir, "config.yaml"), "w") as f:
+    # Persist the merged config into the work dir (reference hparams.py:79-90
+    # re-merges checkpoints/<exp>/config.yaml on the next launch) — also for
+    # --config runs, so a work dir is always self-describing/resumable.
+    if cfg.get("work_dir"):
+        os.makedirs(cfg.work_dir, exist_ok=True)
+        with open(os.path.join(cfg.work_dir, "config.yaml"), "w") as f:
             yaml.safe_dump(cfg.to_dict(), f, allow_unicode=True)
     return cfg
 
 
+class _Tee:
+    """Duplicate stream writes into a log file (reference Tee,
+    utils/commons/trainer.py:28-43 -> work_dir/terminal_logs/)."""
+
+    def __init__(self, stream, fn):
+        self._stream, self._f = stream, open(fn, "a", buffering=1)
+
+    def write(self, data):
+        self._stream.write(data)
+        self._f.write(data)
+
+    def flush(self):
+        self._stream.flush()
+        self._f.flush()
+
+    def __getattr__(self, name):
+        return getattr(self._stream, name)
+
+
+def _tee_terminal(work_dir: str) -> None:
+    import sys
+    import time as _time
+
+    log_dir = os.path.join(work_dir, "terminal_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    fn = os.path.join(log_dir, f"log_{int(_time.time())}.txt")
+    sys.stdout = _Tee(sys.stdout, fn)
+    sys.stderr = _Tee(sys.stderr, fn)
+
+
 def cmd_train(args):
     cfg = _resolve_config(args)
+    if cfg.get("work_dir"):
+        _tee_terminal(cfg.work_dir)
     # Multi-host bootstrap (replaces the reference's single-node NCCL setup,
     # utils/commons/trainer.py:497-507): explicit coordinator via config/env,
     # or jax.distributed auto-detection on TPU pods.  Must run before any
