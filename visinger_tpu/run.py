@@ -9,6 +9,8 @@ collapsed into one argparse CLI:
   python -m visinger_tpu.run binarize   --config cfg.yaml
   python -m visinger_tpu.run infer      --config cfg.yaml --exp_name x \
                                         --midi song.mid --out out.wav
+  python -m visinger_tpu.run test       --config cfg.yaml   (synthesize test split + RTF)
+  python -m visinger_tpu.run validate   --config cfg.yaml   (val losses from latest ckpt)
   python -m visinger_tpu.run synth-data --config cfg.yaml   (synthetic corpus)
 
 --hparams "a=1,b.c=2" overrides dotted config keys (hparams.py:96-109 UX).
@@ -173,6 +175,25 @@ def cmd_test(args):
     tr.test(state)
 
 
+def cmd_validate(args):
+    """Run validation only from the latest checkpoint (reference
+    --validate)."""
+    from visinger_tpu.training.checkpoint import restore_latest
+    from visinger_tpu.training.trainer import Trainer
+    from visinger_tpu.data.dataset import VISingerDataset
+
+    cfg = _resolve_config(args)
+    tr = Trainer(cfg)
+    ds = VISingerDataset(cfg, cfg.train_set_name)
+    first = next(ds.batches(shuffle=False))
+    state = tr._init_state(first)
+    state, step = restore_latest(cfg.work_dir, state)
+    if step == 0:
+        raise SystemExit(f"no checkpoint in {cfg.work_dir}")
+    print(f"| validating from step {step}")
+    tr.validate(state, max_batches=int(cfg.get("eval_max_batches", 0)) or None)
+
+
 def cmd_synth_data(args):
     from visinger_tpu.data.synthetic_corpus import generate_corpus
 
@@ -187,7 +208,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("train", cmd_train), ("preprocess", cmd_preprocess),
                      ("binarize", cmd_binarize), ("infer", cmd_infer),
-                     ("test", cmd_test), ("synth-data", cmd_synth_data)]:
+                     ("test", cmd_test), ("validate", cmd_validate),
+                     ("synth-data", cmd_synth_data)]:
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="")
         sp.add_argument("--exp_name", default="")

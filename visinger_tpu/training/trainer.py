@@ -409,6 +409,33 @@ class Trainer:
             shutil.copytree(src, dst,
                             ignore=shutil.ignore_patterns("__pycache__"))
 
+    def validate(self, state, max_batches: int | None = None) -> dict:
+        """Standalone validation (reference ``--validate`` flag,
+        hparams.py:35 + trainer.py:113-115): deterministic eval of the
+        generator reconstruction losses over the valid split."""
+        from visinger_tpu.training.train_step import make_eval_step
+
+        cfg = self.cfg
+        valid_ds = VISingerDataset(cfg, cfg.valid_set_name)
+        eval_fn = jax.jit(make_eval_step(cfg, self.model))
+        key = jax.random.PRNGKey(0)
+        sums: dict = {}
+        n = 0
+        for i, batch in enumerate(valid_ds.batches(
+                max_sentences=cfg.max_sentences, shuffle=False)):
+            if max_batches and i >= max_batches:
+                break
+            m = jax.device_get(eval_fn(state.params_g,
+                                       self._put_batch(batch), key))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        if jax.process_index() == 0:
+            print(f"| validate ({n} batches): " + ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(means.items())))
+        return means
+
     def test(self, state, out_dir: str | None = None) -> list[dict]:
         """Synthesize the test split and measure RTF per item (reference
         VISingerTask.test_step, tasks/visinger.py:244-263)."""
