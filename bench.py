@@ -83,16 +83,20 @@ def bench_rtf():
             pitch_tokens=batch["note_pitch"], dur_tokens=batch["note_dur"],
             mel2ph=batch["mel2ph"], spk_id=batch["spk_ids"],
             infer=True, deterministic=True, rngs={"sample": rng})
-        return out["wav_out"]
+        # scalar that depends on the full waveform: reading it back is an
+        # honest execution barrier (block_until_ready on the tunnel backend
+        # resolves before execution finishes), without timing the multi-MB
+        # waveform transfer itself.
+        return jnp.sum(out["wav_out"])
 
     fn = jax.jit(infer_fn)
     rng = jax.random.PRNGKey(0)
     for _ in range(warmup):
-        jax.block_until_ready(fn(params_g, batch, rng))
+        float(fn(params_g, batch, rng))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params_g, batch, rng))
+        float(fn(params_g, batch, rng))
         times.append(time.perf_counter() - t0)
     times.sort()
     median = times[len(times) // 2]
