@@ -18,7 +18,7 @@ import os
 import numpy as np
 
 from visinger_tpu.utils.audio.io import save_wav
-from visinger_tpu.utils.text.token_encoder import RESERVED_TOKENS, TokenTextEncoder
+from visinger_tpu.utils.text.token_encoder import TokenTextEncoder
 
 # a small jamo-like phone inventory (real Hangul jamo codepoints)
 _LEADS = [chr(c) for c in range(0x1100, 0x1108)]

@@ -15,7 +15,7 @@ Re-implements the primitives the reference builds on torch.nn:
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

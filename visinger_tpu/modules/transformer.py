@@ -22,7 +22,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from visinger_tpu.modules.common import ChannelLayerNorm, Conv1d

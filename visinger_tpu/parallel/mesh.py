@@ -16,7 +16,7 @@ process_local_data) and gates checkpoint/log IO on ``jax.process_index()==0``
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import numpy as np

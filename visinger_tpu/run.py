@@ -118,13 +118,10 @@ def cmd_binarize(args):
 
 
 def cmd_infer(args):
-    import jax
-
     from visinger_tpu.data.dataset import VISingerDataset  # noqa: F401
     from visinger_tpu.infer.infer import VISingerInfer
     from visinger_tpu.models.factory import build_models
     from visinger_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
-    from visinger_tpu.training.train_state import create_train_state
     from visinger_tpu.utils.text.token_encoder import build_token_encoder
 
     cfg = _resolve_config(args)

@@ -15,7 +15,6 @@ with masked/zero losses, never dynamic graphs, so the program is static.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

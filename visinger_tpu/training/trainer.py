@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import defaultdict
-from typing import Iterator
 
 import jax
 import jax.numpy as jnp
@@ -441,7 +439,6 @@ class Trainer:
         VISingerTask.test_step, tasks/visinger.py:244-263)."""
         import json as _json
 
-        from visinger_tpu.ops.stft import power_spectrogram  # noqa: F401
         from visinger_tpu.utils.audio.io import save_wav
 
         cfg = self.cfg

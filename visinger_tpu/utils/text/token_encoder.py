@@ -8,7 +8,6 @@ decode strips padding/EOS; silence-phoneme detection for Korean jamo.
 from __future__ import annotations
 
 import json
-import os
 import re
 
 PAD, EOS, UNK, SEG = "<pad>", "<EOS>", "<UNK>", "|"
