@@ -125,3 +125,36 @@ def test_use_pallas_training_grad_takes_xla_path():
 
     g = jax.grad(lambda p: loss(p))(params)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+def test_fused_kernel_grad_matches_xla():
+    """The kernel is differentiable (custom_vjp, XLA-recompute backward):
+    grads of an eval-mode use_pallas apply match the XLA module's grads
+    (the lockstep/diagnostic tooling differentiates deterministic applies)."""
+    B, T, C, L, K = 2, 48, 16, 3, 5
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.3)
+    lengths = np.array([48, 40])
+    mask = jnp.asarray((np.arange(T)[None, :] < lengths[:, None])
+                       .astype(np.float32))[..., None]
+    g = jnp.asarray(rng.randn(B, 1, 8).astype(np.float32))
+    wn_xla = WaveNet(C, kernel_size=K, n_layers=L, gin_channels=8)
+    wn_pal = WaveNet(C, kernel_size=K, n_layers=L, gin_channels=8,
+                     use_pallas=True)
+    params = wn_pal.init(jax.random.PRNGKey(0), x, mask, g)["params"]
+
+    def loss(module):
+        def f(p, xx):
+            out = module.apply({"params": p}, xx, mask, g)
+            return jnp.sum(out * out)
+        return f
+
+    g_ref_p, g_ref_x = jax.grad(loss(wn_xla), argnums=(0, 1))(params, x)
+    g_pal_p, g_pal_x = jax.grad(loss(wn_pal), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g_pal_x), np.asarray(g_ref_x),
+                               rtol=1e-3, atol=1e-4)
+    for kp, a, b in zip(jax.tree_util.tree_leaves_with_path(g_ref_p),
+                        jax.tree.leaves(g_ref_p), jax.tree.leaves(g_pal_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=str(kp[0]))

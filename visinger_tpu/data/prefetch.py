@@ -42,10 +42,17 @@ def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel MUST reach the consumer or it blocks forever in
+            # q.get(); use the same stop-aware blocking loop as items (a
+            # put_nowait here silently drops the sentinel whenever the
+            # queue is full, i.e. whenever the producer outpaces the
+            # consumer — the common case).
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -54,8 +54,9 @@ def time_signature_reduce(numerator: int, denominator: int,
 def build_pos_to_info(midi: MidiFile, args, max_pos: int):
     """Per-quantized-position (bar, (ts_num, ts_den), pos_in_bar, tempo_bpm)
     table (base_preprocessor.py:192-226) honoring every time-signature and
-    tempo change.  Raises ValueError on a time-signature change that does not
-    land on a bar boundary (the reference asserts the same)."""
+    tempo change.  A time-signature change that lands mid-bar takes effect
+    from the NEXT bar boundary (the current bar keeps its measure length;
+    tests/test_midi_ts.py::test_mid_bar_ts_change_defers_to_next_bar)."""
     pos_res = args["pos_resolution"]
     tpb = midi.ticks_per_beat
     max_ts_den = int(args.get("max_ts_denominator", 6))
@@ -95,12 +96,8 @@ def build_pos_to_info(midi: MidiFile, args, max_pos: int):
         bar[j] = cur_bar
         pos_in_bar[j] = cnt
         cnt += 1
-        if cnt >= measure_length:
-            if cnt != measure_length:
-                raise ValueError(
-                    f"invalid time signature change at position {j} "
-                    "(not on a bar boundary)")
-            cnt -= measure_length
+        if cnt >= measure_length:  # always lands exactly: cnt steps by 1 and
+            cnt = 0                # measure_length is fixed while cnt > 0
             cur_bar += 1
     return bar, ts, pos_in_bar, tempo
 

@@ -30,10 +30,10 @@ class WaveNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # Route the forward through the Pallas fused-stack kernel
     # (ops/pallas/wavenet_kernel.py).  Init and training always take the XLA
-    # path: the kernel is forward-only (no AD rule), so the gate requires
-    # deterministic=True — the eval/inference apply context.  Training
-    # applies pass deterministic=False (even with p_dropout 0) and must not
-    # reach the kernel or jax.grad through it fails.
+    # path (the fused kernel wins at inference shapes; training also needs
+    # dropout).  The kernel is differentiable — custom_vjp with an
+    # XLA-recompute backward — so eval-mode applies stay safe under
+    # jax.grad (diagnostic tooling differentiates deterministic applies).
     # A/B on a v5e chip (tools/pallas_bench.py): XLA is already at the f32
     # roofline at these shapes, so this is ~parity — kept for bigger configs
     # and as the fusion hook, default off.
@@ -98,7 +98,8 @@ def fused_forward_from_params(params: dict, x, x_mask, g=None,
     """Run the Pallas fused WaveNet kernel from a WaveNet module's params.
 
     Numerically identical to WaveNet.__call__ in eval mode (validated to
-    ~1e-6 in tests/test_pallas.py); forward only — use on inference paths.
+    ~1e-6 in tests/test_pallas.py); differentiable (custom_vjp with an
+    XLA-recompute backward), though training uses the XLA module path.
 
     Args:
       params: the WaveNet module's params dict ({'in_0': .., 'res_skip_0': ..,

@@ -52,7 +52,71 @@ def wavenet_fused_forward(x: jax.Array, w_in: jax.Array, b_in: jax.Array,
                           g_bias: jax.Array | None = None,
                           mask: jax.Array | None = None,
                           t_blk: int = 256) -> jax.Array:
-    """Fused WaveNet stack forward (skip-sum output, mask applied by caller).
+    """Fused WaveNet stack: Pallas forward, XLA-recompute backward.
+
+    Differentiable everywhere via jax.custom_vjp — the backward pass
+    re-runs an equivalent XLA implementation under jax.vjp (the two compute
+    the same math; parity tested).  Training still routes the XLA module
+    path for speed; this makes eval-mode applies safe under jax.grad
+    (lockstep/diagnostic tooling differentiates deterministic applies).
+    See `_stack_forward_xla` for the reference math.
+    """
+    if mask is None:
+        mask = jnp.ones((*x.shape[:2], 1), jnp.float32)
+    return _fused_stack(int(t_blk), x, w_in, b_in, w_rs, b_rs, g_bias, mask)
+
+
+def _stack_forward_xla(x, w_in, b_in, w_rs, b_rs, g_bias, mask):
+    """Pure-XLA mirror of the kernel math (same args, unpadded channels):
+    per layer i — K-tap zero-padded conv as shifted matmuls, + b_in[i]
+    (+ g_bias[:, i]), tanh*sigmoid gate, 1x1 res/skip matmul; residual
+    applied and re-masked for all but the last layer; skips summed."""
+    t = x.shape[1]
+    l, k = int(w_in.shape[0]), int(w_in.shape[1])
+    half = k // 2
+    h = x.astype(jnp.float32)
+    m = jnp.broadcast_to(mask.astype(jnp.float32), h.shape)
+    out = jnp.zeros_like(h)
+    for i in range(l):
+        xp = jnp.pad(h, ((0, 0), (half, half), (0, 0)))
+        x_in = b_in[i][None, None, :]
+        if g_bias is not None:
+            x_in = x_in + g_bias[:, i][:, None, :]
+        for tap in range(k):
+            x_in = x_in + jnp.einsum("btc,cd->btd", xp[:, tap:tap + t],
+                                     w_in[i, tap])
+        c = h.shape[-1]
+        gate = jnp.tanh(x_in[..., :c]) * jax.nn.sigmoid(x_in[..., c:])
+        rs = jnp.einsum("btc,cd->btd", gate, w_rs[i]) + b_rs[i][None, None, :]
+        if i < l - 1:
+            h = (h + rs[..., :c]) * m
+        out = out + rs[..., c:]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_stack(t_blk, x, w_in, b_in, w_rs, b_rs, g_bias, mask):
+    return _pallas_forward(x, w_in, b_in, w_rs, b_rs, g_bias, mask, t_blk)
+
+
+def _fused_stack_fwd(t_blk, x, w_in, b_in, w_rs, b_rs, g_bias, mask):
+    out = _pallas_forward(x, w_in, b_in, w_rs, b_rs, g_bias, mask, t_blk)
+    return out, (x, w_in, b_in, w_rs, b_rs, g_bias, mask)
+
+
+def _fused_stack_bwd(t_blk, residuals, ct):
+    _, vjp = jax.vjp(_stack_forward_xla, *residuals)
+    return vjp(ct.astype(jnp.float32))
+
+
+_fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)
+
+
+def _pallas_forward(x: jax.Array, w_in: jax.Array, b_in: jax.Array,
+                    w_rs: jax.Array, b_rs: jax.Array,
+                    g_bias: jax.Array | None, mask: jax.Array,
+                    t_blk: int) -> jax.Array:
+    """Pallas forward (skip-sum output, mask applied by caller).
 
     Args:
       x:     [B, T, C]
@@ -108,16 +172,16 @@ def wavenet_fused_forward(x: jax.Array, w_in: jax.Array, b_in: jax.Array,
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # x
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # mask
+            pl.BlockSpec(memory_space=pl.ANY),                 # x
+            pl.BlockSpec(memory_space=pl.ANY),                 # mask
             pl.BlockSpec((1, l, c_p), lambda bi, ti: (bi, 0, 0),
                          memory_space=vmem),                      # g_a
             pl.BlockSpec((1, l, c_p), lambda bi, ti: (bi, 0, 0),
                          memory_space=vmem),                      # g_b
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # win_a
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # win_b
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # wrs_a
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # wrs_b
+            pl.BlockSpec(memory_space=pl.ANY),                 # win_a
+            pl.BlockSpec(memory_space=pl.ANY),                 # win_b
+            pl.BlockSpec(memory_space=pl.ANY),                 # wrs_a
+            pl.BlockSpec(memory_space=pl.ANY),                 # wrs_b
             pl.BlockSpec((l, c_p), lambda bi, ti: (0, 0),
                          memory_space=vmem),                      # brs_a
             pl.BlockSpec((l, c_p), lambda bi, ti: (0, 0),

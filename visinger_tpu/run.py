@@ -29,7 +29,7 @@ import yaml
 from visinger_tpu.config import Config, load_config, parse_overrides
 
 
-def _resolve_config(args) -> Config:
+def _resolve_config(args, persist: bool = True) -> Config:
     overrides = parse_overrides(args.hparams or "")
     work_dir = None
     if args.exp_name:
@@ -45,7 +45,11 @@ def _resolve_config(args) -> Config:
     # Persist the merged config into the work dir (reference hparams.py:79-90
     # re-merges checkpoints/<exp>/config.yaml on the next launch) — also for
     # --config runs, so a work dir is always self-describing/resumable.
-    if cfg.get("work_dir"):
+    # Read-only commands (infer/test/validate) pass persist=False: their
+    # one-off --hparams overrides must NOT rewrite the experiment's saved
+    # config and silently change future training/resume behavior (the
+    # reference likewise skips persistence under --infer, hparams.py:84).
+    if persist and cfg.get("work_dir"):
         os.makedirs(cfg.work_dir, exist_ok=True)
         with open(os.path.join(cfg.work_dir, "config.yaml"), "w") as f:
             yaml.safe_dump(cfg.to_dict(), f, allow_unicode=True)
@@ -124,7 +128,7 @@ def cmd_infer(args):
     from visinger_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
     from visinger_tpu.utils.text.token_encoder import build_token_encoder
 
-    cfg = _resolve_config(args)
+    cfg = _resolve_config(args, persist=False)
     data_dir = cfg.binary_data_dir
     enc = build_token_encoder(f"{data_dir}/phone_set.json")
     with open(f"{data_dir}/pitch_map.json") as f:
@@ -158,7 +162,7 @@ def cmd_test(args):
     from visinger_tpu.training.checkpoint import restore_latest
     from visinger_tpu.training.trainer import Trainer
 
-    cfg = _resolve_config(args)
+    cfg = _resolve_config(args, persist=False)
     tr = Trainer(cfg)
     from visinger_tpu.data.dataset import VISingerDataset
 
@@ -179,7 +183,7 @@ def cmd_validate(args):
     from visinger_tpu.training.trainer import Trainer
     from visinger_tpu.data.dataset import VISingerDataset
 
-    cfg = _resolve_config(args)
+    cfg = _resolve_config(args, persist=False)
     tr = Trainer(cfg)
     ds = VISingerDataset(cfg, cfg.train_set_name)
     first = next(ds.batches(shuffle=False))

@@ -47,22 +47,23 @@ def parse_mel_losses(spec: str) -> dict[str, float]:
     return out
 
 
-def masked_mel_l1(mel_out: jax.Array, mel_tgt: jax.Array, w=None) -> jax.Array:
-    """L1 with weights from nonzero target frames (utils/nn/seq_utils.py:33)."""
+def _masked_mel(penalty, mel_out: jax.Array, mel_tgt: jax.Array,
+                w=None) -> jax.Array:
+    """Masked mel loss with weights from nonzero target frames
+    (utils/nn/seq_utils.py:33; reference l1/mse, tasks/base.py:232-247)."""
     weights = (jnp.sum(jnp.abs(mel_tgt), axis=-1, keepdims=True) != 0).astype(mel_tgt.dtype)
     weights = weights * _ones_like_batch(mel_tgt, w)[:, None, None]
     weights = jnp.broadcast_to(weights, mel_tgt.shape)
-    l1 = jnp.abs(mel_out - mel_tgt) * weights
-    return jnp.sum(l1) / jnp.maximum(jnp.sum(weights), 1.0)
+    err = penalty(mel_out - mel_tgt) * weights
+    return jnp.sum(err) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
-def masked_mel_mse(mel_out: jax.Array, mel_tgt: jax.Array, w=None) -> jax.Array:
-    """MSE variant (reference tasks/base.py:240-247 mse_loss)."""
-    weights = (jnp.sum(jnp.abs(mel_tgt), axis=-1, keepdims=True) != 0).astype(mel_tgt.dtype)
-    weights = weights * _ones_like_batch(mel_tgt, w)[:, None, None]
-    weights = jnp.broadcast_to(weights, mel_tgt.shape)
-    se = jnp.square(mel_out - mel_tgt) * weights
-    return jnp.sum(se) / jnp.maximum(jnp.sum(weights), 1.0)
+def masked_mel_l1(mel_out, mel_tgt, w=None):
+    return _masked_mel(jnp.abs, mel_out, mel_tgt, w)
+
+
+def masked_mel_mse(mel_out, mel_tgt, w=None):
+    return _masked_mel(jnp.square, mel_out, mel_tgt, w)
 
 
 MEL_LOSSES = {"l1": masked_mel_l1, "mse": masked_mel_mse}

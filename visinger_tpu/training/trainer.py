@@ -336,9 +336,8 @@ class Trainer:
         from visinger_tpu.utils.plot import save_spec_png
 
         cfg = self.cfg
-        n_items = n_items or int(cfg.get("num_valid_plots", 2))
-        out_dir = os.path.join(self.work_dir, f"valid_{step}")
-        os.makedirs(out_dir, exist_ok=True)
+        if n_items is None:  # explicit 0 = build _render_fn only (test())
+            n_items = int(cfg.get("num_valid_plots", 2))
         from visinger_tpu.utils.audio.pitch import denorm_f0
 
         if self._render_fn is None:
@@ -350,10 +349,15 @@ class Trainer:
                     dur_tokens=batch["note_dur"],
                     mel2ph=batch["mel2ph"],
                     spk_id=batch["spk_ids"],
+                    spk_embed=batch.get("spk_embed"),
                     infer=True, deterministic=True, rngs={"sample": rng})
                 return out["wav_out"], out.get("f0_pred")
 
             self._render_fn = jax.jit(infer_fn)
+        if n_items <= 0:  # caller only wanted _render_fn built
+            return
+        out_dir = os.path.join(self.work_dir, f"valid_{step}")
+        os.makedirs(out_dir, exist_ok=True)
         mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
                                 cfg.sample_rate, float(cfg.fmin),
                                 float(cfg.fmax), cfg.num_mel_bins)
@@ -460,8 +464,15 @@ class Trainer:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             t0 = time.time()
             wavs, _ = self._render_fn(state.params_g, jb, jax.random.PRNGKey(0))
-            wavs = np.asarray(jax.block_until_ready(wavs))
+            # Honest execution barrier: read back ONE scalar that depends on
+            # the full waveform.  block_until_ready resolves before execution
+            # finishes on the tunnel backend, and the multi-MB waveform
+            # readback itself (~1 MB/s over the tunnel) is transfer, not
+            # synthesis — keep it outside the timed window (same pattern as
+            # bench.py's RTF mode).
+            float(jnp.sum(wavs))
             dt = time.time() - t0
+            wavs = np.asarray(wavs)
             batch_audio_s = float(np.sum(
                 batch["mel_lengths"] * batch.get(
                     "item_weights", np.ones(len(batch["mel_lengths"]))))) \
