@@ -54,3 +54,30 @@ def test_cli_exp_name_persists_config(tmp_path, monkeypatch):
     assert persisted["processed_data_dir"] == str(processed)
     # re-resolve from the persisted config (simulates resume)
     main(["synth-data", "--exp_name", "exp1", "--n_items", "3"])
+
+
+def test_readonly_commands_do_not_rewrite_persisted_config(tmp_path,
+                                                           monkeypatch):
+    """infer/test/validate take one-off --hparams without mutating the
+    experiment's saved config.yaml (round-2 review finding; the reference
+    likewise skips persistence under --infer, hparams.py:84)."""
+    import pytest
+
+    monkeypatch.chdir(tmp_path)
+    processed = tmp_path / "p"
+    binary = tmp_path / "b"
+    cfg_fn = _write_tiny_cfg(tmp_path, processed, binary)
+    main(["synth-data", "--config", cfg_fn, "--exp_name", "exp2",
+          "--n_items", "3"])
+    main(["binarize", "--exp_name", "exp2"])
+    saved = tmp_path / "checkpoints" / "exp2" / "config.yaml"
+    before = saved.read_text()
+    # no checkpoint exists -> validate/test exit early, AFTER config resolve
+    with pytest.raises(SystemExit):
+        main(["validate", "--exp_name", "exp2", "-hp", "use_pallas=true"])
+    with pytest.raises(SystemExit):
+        main(["test", "--exp_name", "exp2", "-hp", "max_sentences=1"])
+    persisted = yaml.safe_load(saved.read_text())
+    assert persisted.get("use_pallas") is not True
+    assert persisted["max_sentences"] != 1
+    assert saved.read_text() == before
