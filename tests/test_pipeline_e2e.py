@@ -93,3 +93,28 @@ def test_train_step_on_real_pipeline_batch(corpus):
     state, metrics = step_fn(state, jb)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_trainer_test_loop_quality_metrics(corpus, tmp_path):
+    """Trainer.test: synthesizes the test split, writes results.json with
+    RTF + MCD + mel-L1 vs ground truth (BASELINE.md quality bar)."""
+    import json as _json
+    import os
+
+    from visinger_tpu.training.trainer import Trainer
+
+    cfg, binary = corpus
+    cfg = cfg.replace(work_dir=str(tmp_path / "exp"), max_sentences=2,
+                      tb_log_interval=1, val_check_interval=100,
+                      num_sanity_val_steps=0, save_codes=False)
+    tr = Trainer(cfg)
+    state = tr.fit(max_updates=2)
+    results = tr.test(state, out_dir=str(tmp_path / "gen"))
+    assert len(results) >= 1
+    for r in results:
+        assert os.path.exists(str(tmp_path / "gen" / "wavs" / r["wav_fn_pred"]))
+        assert r["rtf"] > 0
+        assert np.isfinite(r["mcd"]) and r["mcd"] > 0  # untrained: nonzero
+        assert np.isfinite(r["mel_l1"]) and r["mel_l1"] > 0
+    with open(tmp_path / "gen" / "results.json") as f:
+        assert len(_json.load(f)) == len(results)

@@ -1,0 +1,86 @@
+"""MCD / objective quality metrics (utils/audio/quality.py)."""
+
+import numpy as np
+
+from visinger_tpu.ops.stft import STFTParams
+from visinger_tpu.utils.audio.quality import (
+    mcd,
+    mcd_from_mels,
+    mel_cepstra,
+    mel_l1_np,
+)
+
+PARAMS = STFTParams(512, 480, 120, 24000, 0.0, 12000.0, 40)
+
+
+def _tone(freq, n, sr=24000, amp=0.3):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_mcd_identical_is_zero():
+    wav = _tone(440, 24000)
+    assert mcd(wav, wav, PARAMS) < 1e-6
+    assert mel_l1_np(wav, wav, PARAMS) < 1e-7
+
+
+def test_mcd_orders_degradations():
+    rng = np.random.RandomState(0)
+    wav = _tone(440, 24000)
+    a = wav + 0.01 * rng.randn(len(wav)).astype(np.float32)
+    b = wav + 0.1 * rng.randn(len(wav)).astype(np.float32)
+    m_a, m_b = mcd(wav, a, PARAMS), mcd(wav, b, PARAMS)
+    assert 0 < m_a < m_b
+    other = _tone(880, 24000)
+    assert mcd(wav, other, PARAMS) > m_a
+
+
+def test_mcd_excludes_energy_coefficient():
+    """c0 (overall energy/loudness) is excluded — a pure gain change moves
+    MCD far less than a spectral change of similar mel-L1."""
+    wav = _tone(440, 24000)
+    gain = (wav * 0.5).astype(np.float32)
+    assert mcd(wav, gain, PARAMS) < mcd(wav, _tone(880, 24000), PARAMS)
+
+
+def test_dtw_alignment_recovers_time_shift():
+    wav = _tone(440, 24000)
+    shifted = np.concatenate([np.zeros(1200, np.float32), wav])[:len(wav)]
+    plain = mcd(wav, shifted, PARAMS)
+    aligned = mcd(wav, shifted, PARAMS, use_dtw=True)
+    assert aligned < plain
+
+
+def test_mel_cepstra_shape():
+    mel = np.random.RandomState(1).randn(50, 40)
+    c = mel_cepstra(mel, n_coeffs=13)
+    assert c.shape == (50, 13)
+
+
+def test_dct_matches_scipy_when_available():
+    try:
+        from scipy.fftpack import dct
+    except ImportError:
+        return
+    from visinger_tpu.utils.audio.quality import _dct2_ortho
+
+    x = np.random.RandomState(2).randn(7, 40)
+    ours = _dct2_ortho(x, 14)
+    ref = dct(x, type=2, norm="ortho", axis=-1)[:, :14]
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_mcd_from_mels_known_value():
+    """Hand-checkable case: constant cepstral offset d in ONE coefficient
+    gives MCD = 10*sqrt(2)/ln(10) * d."""
+    t, n_mels = 20, 40
+    mel_ref = np.zeros((t, n_mels))
+    # craft mel_syn whose cepstra differ by delta in c1 only: invert DCT row
+    from visinger_tpu.utils.audio.quality import _dct2_ortho
+
+    basis = _dct2_ortho(np.eye(n_mels), 14)  # [n_mels, 14] columns = coeffs
+    delta = 0.25
+    mel_syn = mel_ref + delta * basis[:, 1][None, :] / np.sum(basis[:, 1] ** 2)
+    got = mcd_from_mels(mel_ref, mel_syn)
+    expect = 10 * np.sqrt(2) / np.log(10) * delta
+    np.testing.assert_allclose(got, expect, rtol=1e-8)

@@ -443,9 +443,14 @@ class Trainer:
         VISingerTask.test_step, tasks/visinger.py:244-263)."""
         import json as _json
 
+        from visinger_tpu.ops.stft import STFTParams
         from visinger_tpu.utils.audio.io import save_wav
+        from visinger_tpu.utils.audio.quality import mcd, mel_l1_np
 
         cfg = self.cfg
+        mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
+                                cfg.sample_rate, float(cfg.fmin),
+                                float(cfg.fmax), cfg.num_mel_bins)
         test_ds = VISingerDataset(cfg, cfg.test_set_name)
         out_dir = out_dir or os.path.join(
             self.work_dir, f"generated_{int(jax.device_get(state.step))}")
@@ -485,16 +490,26 @@ class Trainer:
                 fn = f"item_{len(results):04d}_synth.wav"
                 save_wav(wav, os.path.join(out_dir, "wavs", fn),
                          cfg.sample_rate, norm=cfg.get("out_wav_norm", True))
+                # objective quality vs ground truth (BASELINE.md quality bar;
+                # the reference test loop records none — RTF only)
+                gt = np.asarray(batch["wavs"][i][: t * cfg.hop_size])
+                gt = gt.astype(np.float32) / (32767.0 if gt.dtype == np.int16
+                                              else 1.0)
                 results.append({
                     "wav_fn_pred": fn,
                     "audio_s": t * cfg.hop_size / cfg.sample_rate,
                     "rtf": dt / max(batch_audio_s, 1e-9),
                     "rtf_kind": "per_item" if per_item else "batch_mean",
+                    "mcd": round(mcd(gt, wav, mel_params), 3),
+                    "mel_l1": round(mel_l1_np(gt, wav, mel_params), 4),
                 })
         with open(os.path.join(out_dir, "results.json"), "w") as f:
             _json.dump(results, f, indent=1)
         if results:
             mean_rtf = float(np.mean([r["rtf"] for r in results]))
-            print(f"| test: {len(results)} items, mean RTF {mean_rtf:.3f}")
+            mean_mcd = float(np.mean([r["mcd"] for r in results]))
+            mean_l1 = float(np.mean([r["mel_l1"] for r in results]))
+            print(f"| test: {len(results)} items, mean RTF {mean_rtf:.3f}, "
+                  f"MCD {mean_mcd:.2f} dB, mel-L1 {mean_l1:.3f}")
         return results
 

@@ -1,0 +1,111 @@
+"""Objective synthesis-quality metrics.
+
+The reference computes no objective quality metric (its test loop saves
+wavs + RTF only, tasks/visinger.py:244-263); BASELINE.md's quality bar is
+"mel-L1/MCD within noise", so this module provides both:
+
+  - mel_l1_np: masked mel L1 between two waveforms (same frames convention
+    as the training loss, ops/stft.py).
+  - mcd: mel-cepstral distortion (dB) — the standard 10*sqrt(2)/ln10 *
+    mean ||c_ref - c_syn|| over DCT-II cepstra of the log-mel, coefficients
+    1..K (c0/energy excluded), optionally DTW-aligned.
+
+Host-side numpy (evaluation is offline); used by Trainer.test and
+tools/quality_eval.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from visinger_tpu.ops.stft import STFTParams, log_mel_spectrogram_np
+
+_MCD_CONST = 10.0 * np.sqrt(2.0) / np.log(10.0)
+
+
+def _dct2_ortho(x: np.ndarray, n_out: int) -> np.ndarray:
+    """DCT-II with 'ortho' norm over the last axis -> first n_out coeffs."""
+    n = x.shape[-1]
+    k = np.arange(n_out)[:, None]
+    basis = np.cos(np.pi * k * (2 * np.arange(n)[None, :] + 1) / (2 * n))
+    scale = np.full((n_out, 1), np.sqrt(2.0 / n))
+    scale[0, 0] = np.sqrt(1.0 / n)
+    return x @ (basis * scale).T
+
+
+def mel_cepstra(mel_log: np.ndarray, n_coeffs: int = 13) -> np.ndarray:
+    """[T, n_mels] log-mel -> [T, n_coeffs] cepstra c1..cK (c0 dropped)."""
+    return _dct2_ortho(mel_log, n_coeffs + 1)[:, 1:]
+
+
+def _dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotonic DTW path for a [T1, T2] frame-distance matrix."""
+    t1, t2 = cost.shape
+    acc = np.full((t1 + 1, t2 + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, t1 + 1):
+        prev = np.minimum(acc[i - 1, 1:], np.minimum(acc[i - 1, :-1],
+                                                     acc[i, :-1]))
+        # row-wise relaxation needs the running acc[i, j-1]; do it serially
+        for j in range(1, t2 + 1):
+            acc[i, j] = cost[i - 1, j - 1] + min(
+                acc[i - 1, j], acc[i - 1, j - 1], acc[i, j - 1])
+        del prev
+    # backtrack
+    i, j = t1, t2
+    path_i, path_j = [], []
+    while i > 0 and j > 0:
+        path_i.append(i - 1)
+        path_j.append(j - 1)
+        step = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+        if step == 0:
+            i, j = i - 1, j - 1
+        elif step == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(path_i[::-1]), np.asarray(path_j[::-1])
+
+
+def mcd_from_mels(mel_ref: np.ndarray, mel_syn: np.ndarray,
+                  n_coeffs: int = 13, use_dtw: bool = False) -> float:
+    """MCD (dB) between two [T, n_mels] log-mel spectrograms.
+
+    Frame-aligned by default (VISinger synthesis is mel2ph frame-aligned by
+    construction); ``use_dtw`` aligns with a monotonic DTW over cepstral
+    distance first (for comparing against differently-timed renditions)."""
+    c_ref = mel_cepstra(mel_ref, n_coeffs)
+    c_syn = mel_cepstra(mel_syn, n_coeffs)
+    if use_dtw:
+        dist = np.sqrt(np.maximum(
+            np.sum(c_ref ** 2, -1)[:, None] + np.sum(c_syn ** 2, -1)[None, :]
+            - 2.0 * (c_ref @ c_syn.T), 0.0))
+        pi, pj = _dtw_path(dist)
+        c_ref, c_syn = c_ref[pi], c_syn[pj]
+    else:
+        t = min(len(c_ref), len(c_syn))
+        c_ref, c_syn = c_ref[:t], c_syn[:t]
+    d = np.sqrt(np.sum((c_ref - c_syn) ** 2, axis=-1))
+    return float(_MCD_CONST * np.mean(d))
+
+
+def mcd(wav_ref: np.ndarray, wav_syn: np.ndarray, params: STFTParams,
+        n_coeffs: int = 13, use_dtw: bool = False) -> float:
+    """MCD (dB) between a reference and a synthesized waveform."""
+    mel_ref = log_mel_spectrogram_np(np.asarray(wav_ref, np.float64), params)
+    mel_syn = log_mel_spectrogram_np(np.asarray(wav_syn, np.float64), params)
+    return mcd_from_mels(mel_ref, mel_syn, n_coeffs, use_dtw)
+
+
+def mel_l1_np(wav_ref: np.ndarray, wav_syn: np.ndarray,
+              params: STFTParams) -> float:
+    """Masked mel L1 between two waveforms (training-loss convention:
+    weights from nonzero reference frames, training/losses.py)."""
+    mel_ref = log_mel_spectrogram_np(np.asarray(wav_ref, np.float64), params)
+    mel_syn = log_mel_spectrogram_np(np.asarray(wav_syn, np.float64), params)
+    t = min(len(mel_ref), len(mel_syn))
+    mel_ref, mel_syn = mel_ref[:t], mel_syn[:t]
+    w = (np.abs(mel_ref).sum(-1, keepdims=True) != 0).astype(np.float64)
+    w = np.broadcast_to(w, mel_ref.shape)
+    return float(np.sum(np.abs(mel_ref - mel_syn) * w)
+                 / max(np.sum(w), 1.0))
