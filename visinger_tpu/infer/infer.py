@@ -210,3 +210,68 @@ class VISingerInfer:
         save_wav(wav, out_fn, self.cfg.sample_rate,
                  norm=bool(self.cfg.get("out_wav_norm", True)))
         return rtf
+
+    # ------------------------------------------------------------------
+    def synthesize_batch(self, midi_fns: list[str], pitch_control: int = 0,
+                         seed: int = 0, max_sentences: int | None = None
+                         ) -> list[dict]:
+        """Batched serving: synthesize many scores, ``max_sentences`` at a
+        time, grouped by (frame, token) bucket so the whole directory hits a
+        handful of compiled programs.  Scores longer than the largest frame
+        bucket (phrase-split path) and sp_infer mode (one score sharded over
+        the mesh) fall back to per-file synthesis.
+
+        Returns one record per input file: {fn, wav, audio_s, rtf,
+        rtf_kind}.  No reference equivalent (inference/visinger.py is
+        single-file); this is the TPU-native serving throughput path.
+        """
+        cfg = self.cfg
+        max_bs = max_sentences or int(cfg.max_sentences)
+        max_frames = max(cfg.frame_buckets)
+        singles: list[tuple[int, str]] = []
+        grouped: dict[tuple[int, int], list] = {}
+        for pos, fn in enumerate(midi_fns):
+            rows9 = self.score_rows(fn, pitch_control=pitch_control)
+            total_frames = int(rows9[-1][5] * cfg.sample_rate
+                               / cfg.hop_size + 0.5)
+            if self._sp_mesh is not None or total_frames > max_frames:
+                singles.append((pos, fn))
+                continue
+            inp = self.rows_to_inputs(rows9)
+            b1, t_valid = self._pad_to_bucket(inp)
+            key = (b1["mel2ph"].shape[1], b1["text_tokens"].shape[1])
+            grouped.setdefault(key, []).append((pos, fn, b1, t_valid))
+        results: list[dict | None] = [None] * len(midi_fns)
+        for (t_pad, n_pad), items in grouped.items():
+            for chunk_at in range(0, len(items), max_bs):
+                chunk = items[chunk_at:chunk_at + max_bs]
+                # pad the batch to max_bs by repeating the last row (static
+                # shapes -> one program per bucket pair)
+                rows = chunk + [chunk[-1]] * (max_bs - len(chunk))
+                jb = {k: jnp.asarray(np.concatenate(
+                    [r[2][k] for r in rows], axis=0))
+                    for k in rows[0][2]}
+                t0 = time.perf_counter()
+                wavs = self._infer_fn(self.params_g, jb,
+                                      jax.random.PRNGKey(seed))
+                # honest barrier: scalar readback, transfer outside the clock
+                float(jnp.sum(wavs))
+                dt = time.perf_counter() - t0
+                wavs = np.asarray(wavs)
+                audio_s = sum(r[3] for r in chunk) * cfg.hop_size \
+                    / cfg.sample_rate
+                for i, (pos, fn, _b, t_valid) in enumerate(chunk):
+                    wav = wavs[i, : t_valid * cfg.hop_size]
+                    results[pos] = {
+                        "fn": fn, "wav": wav,
+                        "audio_s": t_valid * cfg.hop_size / cfg.sample_rate,
+                        "rtf": dt / max(audio_s, 1e-9),
+                        "rtf_kind": "batch_mean",
+                    }
+        for pos, fn in singles:
+            wav, rtf = self.synthesize(fn, pitch_control=pitch_control,
+                                       seed=seed)
+            results[pos] = {"fn": fn, "wav": wav,
+                            "audio_s": len(wav) / cfg.sample_rate,
+                            "rtf": rtf, "rtf_kind": "per_item"}
+        return results  # type: ignore[return-value]

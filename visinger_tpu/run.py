@@ -9,6 +9,9 @@ collapsed into one argparse CLI:
   python -m visinger_tpu.run binarize   --config cfg.yaml
   python -m visinger_tpu.run infer      --config cfg.yaml --exp_name x \
                                         --midi song.mid --out out.wav
+  python -m visinger_tpu.run infer      ... --midi_dir songs/ --out_dir gen/
+                                        (batched serving: bucket-grouped,
+                                        max_sentences scores per program)
   python -m visinger_tpu.run test       --config cfg.yaml   (synthesize test split + RTF)
   python -m visinger_tpu.run validate   --config cfg.yaml   (val losses from latest ckpt)
   python -m visinger_tpu.run synth-data --config cfg.yaml   (synthetic corpus)
@@ -128,6 +131,8 @@ def cmd_infer(args):
     from visinger_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
     from visinger_tpu.utils.text.token_encoder import build_token_encoder
 
+    if not args.midi and not args.midi_dir:
+        raise SystemExit("infer requires --midi <file> or --midi_dir <dir>")
     cfg = _resolve_config(args, persist=False)
     data_dir = cfg.binary_data_dir
     enc = build_token_encoder(f"{data_dir}/phone_set.json")
@@ -151,6 +156,33 @@ def cmd_infer(args):
     state = restore_checkpoint(ckpt, template)
     print(f"| loaded {ckpt} (step {int(state.step)})")
     infer = VISingerInfer(cfg, state.params_g)
+    if args.midi_dir:
+        import glob
+
+        from visinger_tpu.utils.audio.io import save_wav
+
+        fns = sorted(glob.glob(os.path.join(args.midi_dir, "*.mid")) +
+                     glob.glob(os.path.join(args.midi_dir, "*.midi")))
+        if not fns:
+            raise SystemExit(f"no .mid files in {args.midi_dir}")
+        out_dir = args.out_dir or "generated"
+        os.makedirs(out_dir, exist_ok=True)
+        results = infer.synthesize_batch(fns,
+                                         pitch_control=args.pitch_control)
+        summary = []
+        for r in results:
+            out_fn = os.path.join(
+                out_dir,
+                os.path.splitext(os.path.basename(r["fn"]))[0] + ".wav")
+            save_wav(r.pop("wav"), out_fn, cfg.sample_rate,
+                     norm=cfg.get("out_wav_norm", True))
+            summary.append({**r, "out": out_fn})
+        with open(os.path.join(out_dir, "results.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        mean_rtf = sum(r["rtf"] for r in summary) / len(summary)
+        print(f"| wrote {len(summary)} wavs to {out_dir} "
+              f"(mean RTF {mean_rtf:.3f})")
+        return
     rtf = infer.to_file(args.midi, args.out,
                         pitch_control=args.pitch_control)
     print(f"| wrote {args.out} (RTF {rtf:.3f})")
@@ -217,8 +249,12 @@ def main(argv=None):
         sp.add_argument("-hp", "--hparams", default="")
         sp.add_argument("--reset", action="store_true")
         if name == "infer":
-            sp.add_argument("--midi", required=True)
+            sp.add_argument("--midi", default="")
+            sp.add_argument("--midi_dir", default="",
+                            help="synthesize every .mid in a directory, "
+                                 "batched max_sentences at a time")
             sp.add_argument("--out", default="out.wav")
+            sp.add_argument("--out_dir", default="")
             sp.add_argument("--pitch_control", type=int, default=0)
         if name == "synth-data":
             sp.add_argument("--n_items", type=int, default=12)
