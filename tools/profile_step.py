@@ -35,32 +35,21 @@ from visinger_tpu.models.factory import build_models, init_params, init_state
 from visinger_tpu.training.train_step import make_train_step
 
 
-def classify(name: str) -> str:
-    """Map an XLA/HLO event name to a coarse cost bucket."""
-    n = name.lower()
-    if "all-reduce" in n or "psum" in n:
-        return "collectives"
-    if "dynamic-update-slice" in n or "dynamic-slice" in n:
-        return "dynamic-slice"
-    if "scatter" in n:
-        return "scatter"
-    if "gather" in n:
-        return "gather"
-    if "while" in n:
-        return "while/scan"
-    if "conv" in n:
-        return "conv"
-    if "dot" in n or "matmul" in n or "einsum" in n:
-        return "dot"
-    if "fusion" in n:
-        return "fusion(elementwise)"
-    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
-        return "layout/copy"
-    if "reduce" in n:
-        return "reduce"
-    if "rng" in n:
-        return "rng"
-    return "other"
+def subsystem(tf_op: str) -> str:
+    """Attribute an event to a model subsystem from its tf_op path, e.g.
+    'jit(train_step)/transpose(jvp(VISinger))/decoder/up_0/...' ->
+    'bwd/decoder'."""
+    if not tf_op:
+        return "(no tf_op)"
+    parts = tf_op.split("/")
+    direction = "bwd" if any("transpose(" in p for p in parts) else "fwd"
+    # first component after the jit/jvp wrappers that names a module
+    skip = ("jit(", "jvp(", "transpose(", "checkpoint")
+    mods = [p for p in parts[1:] if p and not p.startswith(skip)]
+    top = mods[0] if mods else parts[-1].rstrip(":")
+    # collapse per-layer suffixes: up_0 -> up, layers_3 -> layers
+    top = re.sub(r"_\d+$", "", top)
+    return f"{direction}/{top}"
 
 
 def main():
@@ -115,6 +104,13 @@ def main():
                 state, metrics = step_fn(state, batch)
             _ = float(metrics["total_g"])
 
+    report(logdir)
+
+
+def report(logdir: str, n_steps: int = 5):
+    """Aggregate the newest trace under ``logdir``: per-subsystem time
+    (tf_op attribution), HLO-category totals, top ops with source lines,
+    and bytes/FLOPs roofline hints."""
     traces = sorted(glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.trace.json.gz")))
     if not traces:
@@ -123,47 +119,63 @@ def main():
     with gzip.open(traces[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device tracks: pid/tid names containing "TPU"/"XLA Ops" vary by backend;
-    # keep complete events ("X") with a duration and an args.name or name.
-    by_bucket = collections.Counter()
-    by_op = collections.Counter()
-    total = 0.0
     pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
+    tid_names = {(e.get("pid"), e.get("tid")): e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
+    by_sub = collections.Counter()
+    by_cat = collections.Counter()
+    by_op = collections.defaultdict(lambda: [0.0, 0, 0, ""])  # ms, bytes, flops, src
+    total = bytes_total = flops_total = 0.0
     for e in events:
         if e.get("ph") != "X":
             continue
-        pname = pid_names.get(e.get("pid"), "")
-        if not re.search(r"tpu|device|/device|xla ops", pname, re.I):
+        if "device" not in pid_names.get(e.get("pid"), "").lower():
             continue
+        if tid_names.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
+            continue
+        a = e.get("args", {})
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        name = e.get("name", "")
-        by_bucket[classify(name)] += dur
-        # strip .N suffixes for grouping
-        by_op[re.sub(r"\.\d+$", "", name)] += dur
+        tf_op = a.get("tf_op", "")
+        by_sub[subsystem(tf_op)] += dur
+        by_cat[a.get("hlo_category", "?")] += dur
+        key = re.sub(r"_\d+[/:]", "/", tf_op)[:100] or \
+            re.sub(r"\.\d+$", "", e.get("name", ""))
+        rec = by_op[key]
+        rec[0] += dur
+        rec[1] += int(a.get("bytes_accessed", 0))
+        rec[2] += int(a.get("model_flops", 0) or 0)
+        rec[3] = a.get("source", "")
         total += dur
-    if total == 0:
-        # fall back: take every X event (host+device), better than nothing
-        for e in events:
-            if e.get("ph") != "X":
-                continue
-            dur = e.get("dur", 0) / 1e3
-            name = e.get("name", "")
-            by_bucket[classify(name)] += dur
-            by_op[re.sub(r"\.\d+$", "", name)] += dur
-            total += dur
-        print("(no device-track match; aggregating ALL tracks)")
+        bytes_total += int(a.get("bytes_accessed", 0))
+        flops_total += int(a.get("model_flops", 0) or 0)
     print(f"\ntrace: {traces[-1]}")
-    print(f"total device op time over 5 steps: {total:.1f} ms "
-          f"({total / 5:.1f} ms/step)\n")
-    print("== by bucket ==")
-    for k, v in by_bucket.most_common():
-        print(f"  {k:24s} {v:9.2f} ms  {100 * v / total:5.1f}%")
-    print("\n== top 30 ops ==")
-    for k, v in by_op.most_common(30):
-        print(f"  {v:9.2f} ms  {100 * v / total:5.1f}%  {k[:110]}")
+    print(f"device op time over {n_steps} steps: {total:.1f} ms "
+          f"({total / n_steps:.2f} ms/step); "
+          f"{bytes_total / max(total, 1e-9) / 1e6:.0f} GB/s avg, "
+          f"{flops_total / max(total, 1e-9) / 1e9:.1f} TFLOP/s avg\n")
+    print("== by subsystem (tf_op) ==")
+    for k, v in by_sub.most_common(25):
+        print(f"  {k:32s} {v:9.2f} ms  {100 * v / total:5.1f}%")
+    print("\n== by HLO category ==")
+    for k, v in by_cat.most_common(15):
+        print(f"  {k:32s} {v:9.2f} ms  {100 * v / total:5.1f}%")
+    print("\n== top 30 op groups ==")
+    for k, (ms, by, fl, src) in sorted(by_op.items(), key=lambda x: -x[1][0])[:30]:
+        gbps = by / max(ms, 1e-9) / 1e6
+        tfps = fl / max(ms, 1e-9) / 1e9
+        print(f"  {ms:8.2f} ms {100 * ms / total:5.1f}%  {gbps:6.0f} GB/s "
+              f"{tfps:6.2f} TF/s  {k}")
+        if src:
+            print(f"           {src}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "report":
+        # re-aggregate an existing trace without touching the TPU
+        report(sys.argv[2] if len(sys.argv) > 2
+               else os.environ.get("PROFILE_DIR", "/tmp/profile_step"))
+    else:
+        main()
