@@ -132,3 +132,41 @@ def test_discriminators_output_scores_and_fmaps():
     assert len(fr[1]) == 6  # DiscriminatorP: 5 convs + post
     for r in rs:
         assert r.shape[0] == 2 and r.ndim == 2
+
+
+def test_grouped_conv_stacked_matches_native():
+    """Conv1d(grouped_impl='stack') == the native XLA grouped conv — values
+    AND gradients — across the MSD's actual (k, stride, groups) specs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visinger_tpu.modules.common import Conv1d
+
+    rng = np.random.RandomState(0)
+    for c_in, c_out, k, s, g, pad in [(16, 64, 41, 4, 4, 20),
+                                      (64, 256, 41, 4, 16, 20),
+                                      (8, 8, 5, 1, 2, 2),
+                                      (12, 24, 7, 2, 3, 3)]:
+        x = jnp.asarray(rng.randn(2, 97, c_in).astype(np.float32))
+        native = Conv1d(c_out, k, stride=s, groups=g, padding=pad,
+                        weight_norm=True)
+        stacked = Conv1d(c_out, k, stride=s, groups=g, padding=pad,
+                         weight_norm=True, grouped_impl="stack")
+        params = native.init(jax.random.PRNGKey(1), x)
+        y_n = native.apply(params, x)
+        y_s = stacked.apply(params, x)
+        assert y_n.shape == y_s.shape
+        np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_n),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(mod):
+            return lambda p, xx: jnp.sum(jnp.square(mod.apply(p, xx)))
+
+        gp_n, gx_n = jax.grad(loss(native), argnums=(0, 1))(params, x)
+        gp_s, gx_s = jax.grad(loss(stacked), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_n),
+                                   rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(gp_n), jax.tree.leaves(gp_s)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)

@@ -65,3 +65,28 @@ def test_mel_is_differentiable(params, wav):
     g = jax.grad(loss)(jnp.asarray(wav))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_log_mel_slices_matches_full_then_slice():
+    """log_mel_slices (wav sliced first) == full-length mel + frame slice,
+    including slices touching both sequence boundaries."""
+    import jax.numpy as jnp
+
+    from visinger_tpu.ops.masking import slice_segments
+    from visinger_tpu.ops.stft import (
+        STFTParams,
+        log_mel_slices,
+        log_mel_spectrogram,
+    )
+
+    params = STFTParams(512, 480, 120, 24000, 0.0, 12000.0, 40)
+    rng = np.random.RandomState(0)
+    t_frames, seg, hop = 64, 8, 120
+    wav = jnp.asarray(rng.randn(3, t_frames * hop).astype(np.float32) * 0.2)
+    full = log_mel_spectrogram(wav, params)
+    for ids in ([0, 17, 56], [56, 0, 29]):  # first/last valid starts included
+        ids_a = jnp.asarray(ids, jnp.int32)
+        want = slice_segments(full, ids_a, seg)
+        got = log_mel_slices(wav, ids_a, seg, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -66,6 +66,7 @@ class DiscriminatorS(nn.Module):
     base: int = 16  # reference widths: 16/64/256/1024/1024/1024
     dtype: jnp.dtype = jnp.float32
     use_spectral_norm: bool = False
+    grouped_impl: str = "native"  # see common.Conv1d.grouped_impl
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -87,6 +88,7 @@ class DiscriminatorS(nn.Module):
             pad = 7 if k == 15 else (20 if k == 41 else 2)
             x = Conv1d(ch, k, stride=s, groups=groups, padding=pad,
                        weight_norm=not sn, spectral_norm=sn,
+                       grouped_impl=self.grouped_impl,
                        dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
@@ -102,12 +104,14 @@ class MultiPeriodDiscriminator(nn.Module):
     p_channels: Sequence[int] = (32, 128, 512, 1024)  # DiscriminatorP widths
     dtype: jnp.dtype = jnp.float32
     use_spectral_norm: bool = False
+    grouped_impl: str = "native"  # see common.Conv1d.grouped_impl
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps)."""
         discs = [DiscriminatorS(base=self.s_base, dtype=self.dtype,
                                 use_spectral_norm=self.use_spectral_norm,
+                                grouped_impl=self.grouped_impl,
                                 name="disc_s")] + [
             DiscriminatorP(p, channels=tuple(self.p_channels),
                            dtype=self.dtype,

@@ -161,6 +161,39 @@ def log_mel_spectrogram(x: jax.Array, params: STFTParams) -> jax.Array:
     return jnp.log(mel + 1e-3)[:, :-1, :]
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def log_mel_slices(x: jax.Array, ids_frame: jax.Array, seg: int,
+                   params: STFTParams) -> jax.Array:
+    """Log-mel of ``seg`` frames starting at per-item frame ``ids_frame``,
+    computed by slicing the WAVEFORM first — numerically identical to
+    ``slice_segments(log_mel_spectrogram(x), ids_frame, seg)`` (the reflect
+    pad is applied to the full wav before slicing, so boundary frames see
+    exactly the same samples) but ~T/seg x cheaper: the dynamic slice ids
+    defeat XLA's DCE, so the full-length formulation really does 640-frame
+    DFT matmuls to use 32 (measured in the train-step trace).
+
+    x: [B, L]; ids_frame: [B] int; -> [B, seg, n_mels].
+    """
+    n_fft, hop = params.n_fft, params.hop_length
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    length = (seg - 1) * hop + n_fft
+    starts = ids_frame.astype(jnp.int32) * hop
+    seg_wav = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (length,)))(
+        xp, starts)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (seg, n_fft), 0) * hop
+           + jax.lax.broadcasted_iota(jnp.int32, (seg, n_fft), 1))
+    frames = seg_wav[:, idx]
+    cos_m, sin_m = _dft_matrices_on_device(params)
+    re = jnp.einsum("bfn,nk->bfk", frames, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.einsum("bfn,nk->bfk", frames, sin_m, preferred_element_type=jnp.float32)
+    spec = re * re + im * im
+    mel = jnp.einsum("bfk,km->bfm", spec, _mel_fb_on_device(params),
+                     preferred_element_type=jnp.float32)
+    return jnp.log(mel + 1e-3)
+
+
 # ---------------------------------------------------------------------------
 # NumPy variants (offline binarizer path; identical numerics, no device).
 # ---------------------------------------------------------------------------

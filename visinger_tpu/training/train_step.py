@@ -24,6 +24,7 @@ import optax
 from visinger_tpu.ops.masking import slice_segments
 from visinger_tpu.ops.stft import (
     STFTParams,
+    log_mel_slices,
     log_mel_spectrogram,
     power_spectrogram,
 )
@@ -86,8 +87,11 @@ def make_train_step(cfg, model, disc, steps_per_epoch: int | None = None
         losses["kl_v"] = jax.lax.stop_gradient(out["kl"])
         losses["kl"] = L.kl_schedule(out["kl"], step, float(cfg.kl_min),
                                      int(cfg.kl_start_steps), float(cfg.lambda_kl))
-        tgt_mel = log_mel_spectrogram(batch["wavs"], mel_params)
-        tgt_slice = slice_segments(tgt_mel, out["ids_slice"], seg)
+        # target mel on the sliced WAV window (numerically identical to
+        # full-length mel + frame slice, ~T/seg x cheaper — see
+        # ops/stft.py:log_mel_slices)
+        tgt_slice = log_mel_slices(batch["wavs"], out["ids_slice"], seg,
+                                   mel_params)
         mel_out = log_mel_spectrogram(out["wav_out"], mel_params)
         # configured mel-loss mix (reference parse_mel_losses "l1:45.0")
         losses["mel_l1"] = L.mel_losses_total(
@@ -228,8 +232,8 @@ def make_eval_step(cfg, model) -> Callable[[Any, dict, jax.Array], dict]:
             rngs={"sample": rng},
         )
         m = {"kl": out["kl"] * float(cfg.lambda_kl)}
-        tgt_mel = log_mel_spectrogram(batch["wavs"], mel_params)
-        tgt_slice = slice_segments(tgt_mel, out["ids_slice"], seg)
+        tgt_slice = log_mel_slices(batch["wavs"], out["ids_slice"], seg,
+                                   mel_params)
         mel_out = log_mel_spectrogram(out["wav_out"], mel_params)
         m["mel_l1"] = L.mel_losses_total(
             cfg.get("mel_losses", "l1:45.0"), mel_out, tgt_slice, w)
