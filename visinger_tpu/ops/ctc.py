@@ -95,12 +95,15 @@ def ctc_loss_fast(log_probs: jax.Array, logit_paddings: jax.Array,
           jnp.moveaxis(logit_paddings[:, 1:], 1, 0))
     alpha, _ = jax.lax.scan(step, alpha0, xs, unroll=unroll)
 
-    # final states: 2*n_labels (last blank) and 2*n_labels-1 (last label)
+    # final states: 2*n_labels (last blank) and 2*n_labels-1 (last label).
+    # One-hot reductions instead of take_along_axis: the gather's backward
+    # is a scatter into [B, S] — a one-hot multiply-sum is matmul-shaped
+    # both ways.
     idx_last = jnp.clip(2 * n_labels, 0, s - 1)
     idx_prev = jnp.clip(2 * n_labels - 1, 0, s - 1)
+    pick = lambda idx: jnp.sum(  # noqa: E731
+        jnp.where(state_idx == idx[:, None], alpha, 0.0), axis=1)
     fin = jnp.logaddexp(
-        jnp.take_along_axis(alpha, idx_last[:, None], axis=1)[:, 0],
-        jnp.where(n_labels > 0,
-                  jnp.take_along_axis(alpha, idx_prev[:, None], axis=1)[:, 0],
-                  _NEG_INF))
+        pick(idx_last),
+        jnp.where(n_labels > 0, pick(idx_prev), _NEG_INF))
     return -fin
