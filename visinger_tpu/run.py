@@ -15,6 +15,9 @@ collapsed into one argparse CLI:
   python -m visinger_tpu.run test       --config cfg.yaml   (synthesize test split + RTF)
   python -m visinger_tpu.run validate   --config cfg.yaml   (val losses from latest ckpt)
   python -m visinger_tpu.run synth-data --config cfg.yaml   (synthetic corpus)
+  python -m visinger_tpu.run export     --exp_name x --out_dir art/
+                                        (AOT serving artifact: StableHLO
+                                        program + weights, infer/export.py)
 
 --hparams "a=1,b.c=2" overrides dotted config keys (hparams.py:96-109 UX).
 The work dir is checkpoints/<exp_name>; the merged config is persisted there
@@ -188,6 +191,40 @@ def cmd_infer(args):
     print(f"| wrote {args.out} (RTF {rtf:.3f})")
 
 
+def cmd_export(args):
+    """Serialize the synthesis program to a deployable artifact
+    (StableHLO via jax.export + weights + meta) — see infer/export.py."""
+    from visinger_tpu.data.synthetic import synthetic_batch
+    from visinger_tpu.infer.export import export_synthesis
+    from visinger_tpu.models.factory import build_models, init_state
+    from visinger_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
+    from visinger_tpu.utils.text.token_encoder import build_token_encoder
+    import jax.numpy as jnp
+
+    cfg = _resolve_config(args, persist=False)
+    data_dir = cfg.binary_data_dir
+    enc = build_token_encoder(f"{data_dir}/phone_set.json")
+    with open(f"{data_dir}/pitch_map.json") as f:
+        pv = len(json.load(f))
+    with open(f"{data_dir}/dur_map.json") as f:
+        dv = len(json.load(f))
+    model, disc = build_models(cfg, len(enc), pv, dv)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        1, 16, 64, vocab=len(enc), pitch_vocab=pv, dur_vocab=dv,
+        num_linear_bins=cfg.num_linear_bins, hop_size=cfg.hop_size).items()}
+    template = init_state(cfg, model, disc, batch)
+    ckpt = latest_checkpoint(cfg.work_dir)
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint in {cfg.work_dir}")
+    state = restore_checkpoint(ckpt, template)
+    print(f"| exporting {ckpt} (step {int(state.step)})")
+    platforms = tuple(p for p in args.platforms.split(",") if p) or None
+    meta = export_synthesis(
+        cfg, model, state.params_g, args.out_dir,
+        batch_size=args.batch_size, platforms=platforms)
+    print(f"| wrote artifact to {args.out_dir}: {json.dumps(meta)}")
+
+
 def cmd_test(args):
     """Synthesize the test split from the latest checkpoint + report RTF."""
     from visinger_tpu.models.factory import init_state
@@ -242,7 +279,7 @@ def main(argv=None):
     for name, fn in [("train", cmd_train), ("preprocess", cmd_preprocess),
                      ("binarize", cmd_binarize), ("infer", cmd_infer),
                      ("test", cmd_test), ("validate", cmd_validate),
-                     ("synth-data", cmd_synth_data)]:
+                     ("synth-data", cmd_synth_data), ("export", cmd_export)]:
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="")
         sp.add_argument("--exp_name", default="")
@@ -258,6 +295,11 @@ def main(argv=None):
             sp.add_argument("--pitch_control", type=int, default=0)
         if name == "synth-data":
             sp.add_argument("--n_items", type=int, default=12)
+        if name == "export":
+            sp.add_argument("--out_dir", default="exported_model")
+            sp.add_argument("--batch_size", type=int, default=1)
+            sp.add_argument("--platforms", default="cpu,tpu",
+                            help="comma-separated lowering platforms")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)
