@@ -4,6 +4,7 @@ import numpy as np
 
 from visinger_tpu.ops.stft import STFTParams
 from visinger_tpu.utils.audio.quality import (
+    f0_metrics,
     mcd,
     mcd_from_mels,
     mel_cepstra,
@@ -68,6 +69,28 @@ def test_dct_matches_scipy_when_available():
     ours = _dct2_ortho(x, 14)
     ref = dct(x, type=2, norm="ortho", axis=-1)[:, :14]
     np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_f0_metrics_identical_and_semitone_shift():
+    """Same tone -> ~0 cents RMSE, 0 V/UV error; a semitone-shifted tone
+    (2^(1/12)) -> ~100 cents RMSE."""
+    wav = _tone(440, 48000)
+    same = f0_metrics(wav, wav, 24000, 120)
+    assert same["f0_rmse_cents"] < 5.0
+    assert same["vuv_error"] == 0.0
+    shifted = _tone(440 * 2 ** (1 / 12), 48000)
+    m = f0_metrics(wav, shifted, 24000, 120)
+    assert 80.0 < m["f0_rmse_cents"] < 120.0
+
+
+def test_f0_metrics_vuv_disagreement():
+    """Tone vs silence: every voiced reference frame is a V/UV miss and no
+    jointly-voiced frames exist (RMSE NaN)."""
+    wav = _tone(440, 48000)
+    silence = np.zeros_like(wav)
+    m = f0_metrics(wav, silence, 24000, 120)
+    assert m["vuv_error"] > 0.8
+    assert np.isnan(m["f0_rmse_cents"])
 
 
 def test_mcd_from_mels_known_value():

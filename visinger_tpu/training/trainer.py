@@ -445,7 +445,7 @@ class Trainer:
 
         from visinger_tpu.ops.stft import STFTParams
         from visinger_tpu.utils.audio.io import save_wav
-        from visinger_tpu.utils.audio.quality import mcd, mel_l1_np
+        from visinger_tpu.utils.audio.quality import f0_metrics, mcd, mel_l1_np
 
         cfg = self.cfg
         mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
@@ -495,6 +495,9 @@ class Trainer:
                 gt = np.asarray(batch["wavs"][i][: t * cfg.hop_size])
                 gt = gt.astype(np.float32) / (32767.0 if gt.dtype == np.int16
                                               else 1.0)
+                f0m = f0_metrics(gt, wav, cfg.sample_rate, cfg.hop_size,
+                                 float(cfg.get("f0_min", 50)),
+                                 float(cfg.get("f0_max", 1250)))
                 results.append({
                     "wav_fn_pred": fn,
                     "audio_s": t * cfg.hop_size / cfg.sample_rate,
@@ -502,6 +505,8 @@ class Trainer:
                     "rtf_kind": "per_item" if per_item else "batch_mean",
                     "mcd": round(mcd(gt, wav, mel_params), 3),
                     "mel_l1": round(mel_l1_np(gt, wav, mel_params), 4),
+                    "f0_rmse_cents": round(f0m["f0_rmse_cents"], 1),
+                    "vuv_error": round(f0m["vuv_error"], 4),
                 })
         with open(os.path.join(out_dir, "results.json"), "w") as f:
             _json.dump(results, f, indent=1)
@@ -509,7 +514,11 @@ class Trainer:
             mean_rtf = float(np.mean([r["rtf"] for r in results]))
             mean_mcd = float(np.mean([r["mcd"] for r in results]))
             mean_l1 = float(np.mean([r["mel_l1"] for r in results]))
+            mean_f0 = float(np.nanmean(
+                [r["f0_rmse_cents"] for r in results]))
+            mean_vuv = float(np.nanmean([r["vuv_error"] for r in results]))
             print(f"| test: {len(results)} items, mean RTF {mean_rtf:.3f}, "
-                  f"MCD {mean_mcd:.2f} dB, mel-L1 {mean_l1:.3f}")
+                  f"MCD {mean_mcd:.2f} dB, mel-L1 {mean_l1:.3f}, "
+                  f"f0-RMSE {mean_f0:.0f} cents, V/UV err {mean_vuv:.3f}")
         return results
 

@@ -97,6 +97,35 @@ def mcd(wav_ref: np.ndarray, wav_syn: np.ndarray, params: STFTParams,
     return mcd_from_mels(mel_ref, mel_syn, n_coeffs, use_dtw)
 
 
+def f0_metrics(wav_ref: np.ndarray, wav_syn: np.ndarray, sample_rate: int,
+               hop_size: int, f0_min: float = 50.0, f0_max: float = 1250.0,
+               extractor: str = "autocorr") -> dict:
+    """Pitch-accuracy metrics between two waveforms (standard SVS eval;
+    the reference records none).
+
+    Returns ``f0_rmse_cents`` (RMSE of 1200·log2(f0_syn/f0_ref) over frames
+    voiced in BOTH — NaN if none) and ``vuv_error`` (fraction of frames
+    where the voicing decisions disagree)."""
+    from visinger_tpu.utils.audio.pitch_extract import extract_pitch
+
+    n = min(len(wav_ref), len(wav_syn)) // hop_size
+    f0_ref = extract_pitch(extractor, np.asarray(wav_ref, np.float64),
+                           sample_rate, hop_size, n, f0_min, f0_max)
+    f0_syn = extract_pitch(extractor, np.asarray(wav_syn, np.float64),
+                           sample_rate, hop_size, n, f0_min, f0_max)
+    v_ref, v_syn = f0_ref > 0, f0_syn > 0
+    both = v_ref & v_syn
+    if both.any():
+        cents = 1200.0 * np.log2(f0_syn[both] / f0_ref[both])
+        rmse = float(np.sqrt(np.mean(cents ** 2)))
+    else:
+        rmse = float("nan")
+    return {
+        "f0_rmse_cents": rmse,
+        "vuv_error": float(np.mean(v_ref != v_syn)) if n else float("nan"),
+    }
+
+
 def mel_l1_np(wav_ref: np.ndarray, wav_syn: np.ndarray,
               params: STFTParams) -> float:
     """Masked mel L1 between two waveforms (training-loss convention:
