@@ -170,3 +170,72 @@ def test_grouped_conv_stacked_matches_native():
         for a, b in zip(jax.tree.leaves(gp_n), jax.tree.leaves(gp_s)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_polyphase_conv_transpose_matches_dilated():
+    """Polyphase (stride-1 conv + depth-to-space) upsampling is the same
+    function as the lhs-dilated formulation, fwd and bwd, on all decoder
+    shapes (reference modules/visinger/decoder.py:17-33 upsample stack)."""
+    for k, u, cin, cout in [(11, 5, 24, 12), (7, 3, 12, 8), (4, 2, 8, 4),
+                            (5, 5, 8, 8), (3, 1, 8, 8)]:
+        x = jax.random.normal(KEY, (2, 13, cin))
+        m_poly = ConvTranspose1d(cout, k, u, polyphase=True)
+        m_dil = ConvTranspose1d(cout, k, u, polyphase=False)
+        p = m_poly.init(KEY, x)
+
+        def s_poly(p, x):
+            return jnp.sum(m_poly.apply(p, x) ** 2)
+
+        def s_dil(p, x):
+            return jnp.sum(m_dil.apply(p, x) ** 2)
+
+        y1, y2 = m_poly.apply(p, x), m_dil.apply(p, x)
+        assert y1.shape == y2.shape == (2, 13 * u, cout)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-5, rtol=1e-4)
+        g1, g2 = jax.grad(s_poly)(p, x), jax.grad(s_dil)(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+
+def test_time_folded_conv_matches_native():
+    """time_fold>1 (MXU-dense stride-f lowering for the low-channel decoder
+    tail) is the same function as the native conv — incl. T % fold != 0 and
+    every (kernel, dilation) in the MRF (decoder.py:68-110)."""
+    for k, d, fold, t in [(3, 1, 8, 40), (3, 5, 8, 43), (7, 1, 4, 40),
+                          (11, 5, 8, 29), (7, 1, 8, 16)]:
+        x = jax.random.normal(KEY, (2, t, 16))
+        m_fold = Conv1d(12, k, dilation=d, weight_norm=True, time_fold=fold)
+        m_nat = Conv1d(12, k, dilation=d, weight_norm=True)
+        p = m_fold.init(KEY, x)
+        y1, y2 = m_fold.apply(p, x), m_nat.apply(p, x)
+        assert y1.shape == y2.shape == (2, t, 12), (k, d, fold, t)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-5, rtol=1e-4)
+
+        def s_fold(p):
+            return jnp.sum(m_fold.apply(p, x) ** 2)
+
+        def s_nat(p):
+            return jnp.sum(m_nat.apply(p, x) ** 2)
+
+        for a, b in zip(jax.tree_util.tree_leaves(jax.grad(s_fold)(p)),
+                        jax.tree_util.tree_leaves(jax.grad(s_nat)(p))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+
+def test_hifigan_time_fold_matches_unfolded():
+    """Full generator with the folded tail == the plain generator (same
+    param tree), so the flag is a pure lowering choice."""
+    gen_a = HiFiGANGenerator(upsample_initial_channel=64, time_fold=True)
+    gen_b = HiFiGANGenerator(upsample_initial_channel=64, time_fold=False)
+    x = jax.random.normal(KEY, (2, 7, 32))
+    p = gen_a.init(KEY, x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(gen_b.init(KEY, x)))
+    ya, yb = gen_a.apply(p, x), gen_b.apply(p, x)
+    assert ya.shape == yb.shape == (2, 7 * 300)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-6)

@@ -89,7 +89,9 @@ class VISinger(nn.Module):
             upsample_rates=tuple(cfg.upsample_rates),
             upsample_initial_channel=cfg.initial_upsample_channels,
             upsample_kernel_sizes=tuple(cfg.upsample_kernel_sizes),
-            gin_channels=cfg.gin_channels, dtype=dtype)
+            gin_channels=cfg.gin_channels,
+            time_fold=bool(cfg.get("decoder_time_fold", False)),
+            polyphase=bool(cfg.get("decoder_polyphase", False)), dtype=dtype)
 
     def speaker_embedding(self, spk_embed, spk_id):
         """-> [B, 1, gin] or None (models/visinger.py:114-121)."""

@@ -132,12 +132,58 @@ def _grouped_conv_stacked(x: jax.Array, w: jax.Array, groups: int,
     return y.reshape(b, t_out, c_out)
 
 
+def _time_folded_conv(x: jax.Array, w: jax.Array, dilation: int,
+                      fold: int) -> jax.Array:
+    """Small-channel SAME conv as a stride-``fold`` conv producing ``fold``
+    consecutive outputs' channels per step.
+
+    The decoder tail runs convs at 16-32 channels over T ~ 200k samples;
+    lowered naively those fill <16 of the MXU's 128 lanes (measured 1.5-13
+    TF/s in the synthesis trace).  Grouping f consecutive output positions
+    into the channel dim makes the op a dense [w_len*C_in] x [f*C_out]
+    matmul (both >=128 at f = 128/C): kernel W'[i + off_j + r, cin,
+    i*C_out + co] = W[j, cin, co] with off_j = (j - (k-1)/2)*d, window
+    w_len = f + 2r, r = (k-1)/2*d, stride f, padding (r, r).  FLOPs grow by
+    w_len/k (the window is dense over the f output slots).  Identical math /
+    identical params; ~1e-7 float reassociation only.
+
+    Measured on the TPU it LOSES (0.8x, tools/ab_decoder_lowering.py):
+    XLA:TPU's native lowering of the small-channel convs is already good —
+    kept as a flag-gated option, default off.
+    """
+    b, t, c_in = x.shape
+    k, _, c_out = w.shape
+    r = (k - 1) // 2 * dilation
+    f = fold
+    pad_t = (-t) % f
+    if pad_t:
+        # zero-padding the tail == the SAME-conv zero pad; sliced off below
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+    t_p = t + pad_t
+    w_len = f + 2 * r
+    wbig = jnp.zeros((w_len, c_in, f * c_out), w.dtype)
+    half = (k - 1) // 2
+    for i in range(f):
+        for j in range(k):
+            off = (j - half) * dilation
+            wbig = wbig.at[i + off + r, :, i * c_out:(i + 1) * c_out].set(w[j])
+    y = jax.lax.conv_general_dilated(
+        x, wbig, window_strides=(f,), padding=[(r, r)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    y = y.reshape(b, t_p, c_out)
+    return y[:, :t] if pad_t else y
+
+
 class Conv1d(nn.Module):
     """1-D convolution, NWC layout, torch-Conv1d-compatible defaults.
 
     ``weight_norm=True`` uses the explicit g*v/||v|| parameterization with
     g initialized to ||v|| so the initial function equals the plain conv —
     matching torch.nn.utils.weight_norm semantics.
+
+    ``time_fold > 1`` switches to the MXU-dense time-folded lowering (see
+    _time_folded_conv) — same params, same math; requires stride 1,
+    groups 1, odd kernel, default padding.
     """
 
     features: int
@@ -157,6 +203,7 @@ class Conv1d(nn.Module):
     # single largest op group in the train-step trace — see
     # _grouped_conv_stacked)
     grouped_impl: str = "native"
+    time_fold: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -174,7 +221,13 @@ class Conv1d(nn.Module):
         pad = self.padding
         if pad is None:
             pad = torch_conv_pad(self.kernel_size, self.dilation)
-        if self.groups > 1 and self.grouped_impl == "stack":
+        if self.time_fold > 1:
+            assert (self.groups == 1 and self.stride == 1
+                    and self.kernel_size % 2 == 1
+                    and pad == torch_conv_pad(self.kernel_size, self.dilation))
+            y = _time_folded_conv(x.astype(self.dtype), w.astype(self.dtype),
+                                  self.dilation, self.time_fold)
+        elif self.groups > 1 and self.grouped_impl == "stack":
             y = _grouped_conv_stacked(
                 x.astype(self.dtype), w.astype(self.dtype), self.groups,
                 self.stride, self.dilation, pad)
@@ -197,12 +250,71 @@ class Conv1d(nn.Module):
         return y
 
 
+def _polyphase_specs(k: int, u: int, p: int):
+    """Static polyphase decomposition of a stride-``u`` transposed conv.
+
+    Output index n = q*u + r.  With torch ConvTranspose1d semantics
+    (y[n] = sum_m x[m] * W[..., j], j = n + p - m*u, j in [0, k)), phase r
+    reads tap j = d*u + rho at input offset o = a - d, where (a, rho) =
+    divmod(r + p, u) and d in [0, ceil((k - rho)/u)).  Returns the per-phase
+    (a, rho, D) triples plus the tap window [o_lo, o_hi] they jointly span.
+    """
+    specs = []
+    for r in range(u):
+        a, rho = divmod(r + p, u)
+        n_taps = -(-(k - rho) // u)
+        specs.append((a, rho, n_taps))
+    o_lo = min(a - (d - 1) for a, _, d in specs)
+    o_hi = max(a for a, _, _ in specs)
+    return specs, o_lo, o_hi
+
+
+def polyphase_upsample(x: jax.Array, w: jax.Array, u: int,
+                       p: int) -> jax.Array:
+    """Transposed conv as a stride-1 conv to ``u*C_out`` channels followed by
+    a depth-to-space reshape.
+
+    ``w`` is the torch-tap-order kernel [k, C_in, C_out] (same params as the
+    lhs-dilated formulation).  The lhs-dilated conv multiplies against the
+    u-1 inserted zeros between samples — k MACs/output; this formulation
+    touches only the <= ceil(k/u)+1 taps that are actually nonzero for each
+    output phase, a ~2.3-2.8x FLOP cut at the VISinger decoder shapes
+    (k=11,u=5 / k=7,u=3 / k=4,u=2) and a single dense [C_in -> u*C_out]
+    MXU matmul per tap instead of a sparse one.
+    """
+    k, in_ch, out_ch = w.shape
+    specs, o_lo, o_hi = _polyphase_specs(k, u, p)
+    n_w = o_hi - o_lo + 1
+    # Kbig[o - o_lo, cin, r*C_out + cout] = W[d*u + rho, cin, cout], o = a - d
+    cols = []
+    for a, rho, n_taps in specs:
+        taps = jnp.zeros((n_w, in_ch, out_ch), w.dtype)
+        for d in range(n_taps):
+            taps = taps.at[a - d - o_lo].set(w[d * u + rho])
+        cols.append(taps)
+    kbig = jnp.concatenate(cols, axis=-1)  # [n_w, C_in, u*C_out]
+    y = jax.lax.conv_general_dilated(
+        x, kbig, window_strides=(1,),
+        padding=[(-o_lo, o_hi)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    b, t = x.shape[0], x.shape[1]
+    # [B, T, u*C_out] -> [B, T*u, C_out]: phase r is the fast axis of the
+    # channel dim (r*C_out + cout), so a contiguous reshape interleaves it.
+    return y.reshape(b, t * u, out_ch)
+
+
 class ConvTranspose1d(nn.Module):
     """Transposed 1-D conv matching torch.ConvTranspose1d(k, stride=u,
     padding=(k-u)//2): output length = T * u.
 
-    Implemented as an input-dilated conv (lhs_dilation) so XLA lowers it to
-    the MXU like any other conv.
+    Two mathematically identical formulations (same params either way):
+    the lhs-dilated conv (default) or ``polyphase`` — stride-1 conv to
+    u*C_out channels + depth-to-space, skipping the inserted-zero MACs.
+    Measured on the TPU (tools/ab_decoder_lowering.py, one process):
+    polyphase is 0.70x at synthesis shapes — XLA:TPU already lowers the
+    lhs-dilated conv efficiently and the per-step polyphase kernel build
+    adds overhead — so the default stays lhs-dilated.
     """
 
     features: int
@@ -211,6 +323,7 @@ class ConvTranspose1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = True
     kernel_init: Callable = torch_convt_kernel_init
+    polyphase: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,16 +338,20 @@ class ConvTranspose1d(nn.Module):
             w = v * (g / _norm_over_vector(v))
         else:
             w = v
-        # transposed conv == lhs-dilated conv with spatially flipped kernel
-        w = jnp.flip(w, axis=0)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            w.astype(self.dtype),
-            window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(u,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        if self.polyphase:
+            y = polyphase_upsample(x.astype(self.dtype), w.astype(self.dtype),
+                                   u, p)
+        else:
+            # transposed conv == lhs-dilated conv with flipped kernel
+            wf = jnp.flip(w, axis=0)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                wf.astype(self.dtype),
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(u,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         if self.use_bias:
             b = self.param("bias", torch_bias_init(k * self.features),
                            (self.features,))

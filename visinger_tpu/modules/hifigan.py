@@ -29,6 +29,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    time_fold: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -36,10 +37,12 @@ class ResBlock1(nn.Module):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        weight_norm=True, dtype=self.dtype, name=f"conv1_{i}")(xt)
+                        weight_norm=True, time_fold=self.time_fold,
+                        dtype=self.dtype, name=f"conv1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=1,
-                        weight_norm=True, dtype=self.dtype, name=f"conv2_{i}")(xt)
+                        weight_norm=True, time_fold=self.time_fold,
+                        dtype=self.dtype, name=f"conv2_{i}")(xt)
             x = x + xt
         return x
 
@@ -48,6 +51,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
+    time_fold: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -55,7 +59,8 @@ class ResBlock2(nn.Module):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        weight_norm=True, dtype=self.dtype, name=f"conv_{i}")(xt)
+                        weight_norm=True, time_fold=self.time_fold,
+                        dtype=self.dtype, name=f"conv_{i}")(xt)
             x = x + xt
         return x
 
@@ -70,7 +75,17 @@ class HiFiGANGenerator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (11, 11, 7, 4, 4)
     gin_channels: int = 0
+    # Alternative lowerings, identical math/params, A/B'd on the TPU
+    # (tools/ab_decoder_lowering.py): time_fold = MXU-dense stride-f tail
+    # convs (0.8x — slower), polyphase = depth-to-space upsampling (0.7x —
+    # slower).  XLA:TPU already handles the naive forms well; both stay
+    # available for future hardware but default off.
+    time_fold: bool = False
+    polyphase: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _fold(self, ch: int) -> int:
+        return max(1, min(8, 128 // ch)) if self.time_fold else 1
 
     @nn.compact
     def __call__(self, x: jax.Array, g: jax.Array | None = None) -> jax.Array:
@@ -82,19 +97,22 @@ class HiFiGANGenerator(nn.Module):
         if g is not None and self.gin_channels:
             x = x + Conv1d(self.upsample_initial_channel, 1, dtype=self.dtype,
                            name="cond")(g.astype(self.dtype))
+        ch = self.upsample_initial_channel
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, weight_norm=True, dtype=self.dtype,
+            x = ConvTranspose1d(ch, k, u, weight_norm=True,
+                                polyphase=self.polyphase, dtype=self.dtype,
                                 name=f"up_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilations)):
-                y = res_cls(ch, rk, tuple(rd), dtype=self.dtype,
-                            name=f"res_{i}_{j}")(x)
+                y = res_cls(ch, rk, tuple(rd), time_fold=self._fold(ch),
+                            dtype=self.dtype, name=f"res_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
         x = nn.leaky_relu(x, LRELU_SLOPE)
-        x = Conv1d(1, 7, use_bias=False, dtype=self.dtype, name="conv_post")(x)
+        x = Conv1d(1, 7, use_bias=False, time_fold=self._fold(ch),
+                   dtype=self.dtype, name="conv_post")(x)
         # waveform output back in f32 for the (f32) STFT losses
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
