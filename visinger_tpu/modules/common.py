@@ -161,12 +161,18 @@ def _time_folded_conv(x: jax.Array, w: jax.Array, dilation: int,
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
     t_p = t + pad_t
     w_len = f + 2 * r
-    wbig = jnp.zeros((w_len, c_in, f * c_out), w.dtype)
+    # Assemble W' with ONE einsum against a precomputed one-hot placement
+    # tensor (a Python loop of f*k traced dynamic-update-slices lengthened
+    # the already minutes-long remote compiles).  P[j, i, i + off_j + r] = 1;
+    # within a fold slot i the tap positions are distinct, so the j-sum is
+    # pure selection, never accumulation.
     half = (k - 1) // 2
-    for i in range(f):
-        for j in range(k):
-            off = (j - half) * dilation
-            wbig = wbig.at[i + off + r, :, i * c_out:(i + 1) * c_out].set(w[j])
+    place = np.zeros((k, f, w_len), w.dtype)
+    for j in range(k):
+        off = (j - half) * dilation
+        place[j, np.arange(f), np.arange(f) + off + r] = 1.0
+    wbig = jnp.einsum("jiw,jco->wcio", jnp.asarray(place), w)
+    wbig = wbig.reshape(w_len, c_in, f * c_out)
     y = jax.lax.conv_general_dilated(
         x, wbig, window_strides=(f,), padding=[(r, r)],
         dimension_numbers=("NWC", "WIO", "NWC"))
@@ -208,7 +214,10 @@ class Conv1d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        assert in_ch % self.groups == 0
+        if in_ch % self.groups != 0:
+            raise ValueError(
+                f"Conv1d: in_channels {in_ch} not divisible by groups "
+                f"{self.groups}")
         kshape = (self.kernel_size, in_ch // self.groups, self.features)
         v = self.param("kernel", self.kernel_init, kshape)
         if self.spectral_norm:
@@ -222,9 +231,16 @@ class Conv1d(nn.Module):
         if pad is None:
             pad = torch_conv_pad(self.kernel_size, self.dilation)
         if self.time_fold > 1:
-            assert (self.groups == 1 and self.stride == 1
+            # preconditions raise (not assert: python -O strips asserts and a
+            # violating caller would silently compute wrong outputs)
+            if not (self.groups == 1 and self.stride == 1
                     and self.kernel_size % 2 == 1
-                    and pad == torch_conv_pad(self.kernel_size, self.dilation))
+                    and pad == torch_conv_pad(self.kernel_size, self.dilation)):
+                raise ValueError(
+                    "Conv1d(time_fold>1) requires stride=1, groups=1, an odd "
+                    "kernel, and default same-length padding; got "
+                    f"stride={self.stride} groups={self.groups} "
+                    f"kernel={self.kernel_size} padding={pad}")
             y = _time_folded_conv(x.astype(self.dtype), w.astype(self.dtype),
                                   self.dilation, self.time_fold)
         elif self.groups > 1 and self.grouped_impl == "stack":

@@ -77,9 +77,11 @@ class HiFiGANGenerator(nn.Module):
     gin_channels: int = 0
     # Alternative lowerings, identical math/params, A/B'd on the TPU
     # (tools/ab_decoder_lowering.py): time_fold = MXU-dense stride-f tail
-    # convs (0.8x — slower), polyphase = depth-to-space upsampling (0.7x —
-    # slower).  XLA:TPU already handles the naive forms well; both stay
-    # available for future hardware but default off.
+    # convs (0.8x incremental on top of polyphase; poly+fold together =
+    # 0.56x end-to-end vs the naive lowering — i.e. SLOWER), polyphase =
+    # depth-to-space upsampling (0.7x end-to-end — slower).  XLA:TPU
+    # already handles the naive forms well; both stay available for future
+    # hardware but default off.
     time_fold: bool = False
     polyphase: bool = False
     dtype: jnp.dtype = jnp.float32
