@@ -39,6 +39,14 @@ def make_optimizers(cfg, steps_per_epoch: int | None = None
     # cfg.steps_per_epoch > 0 acts as an explicit override.
     cfg_spe = int(cfg.get("steps_per_epoch", 0) or 0)
     steps_per_epoch = cfg_spe or int(steps_per_epoch or 0) or 280
+    # steps_per_epoch arrives in micro-batches; the schedule's count advances
+    # once per OPTIMIZER step (with MultiSteps the inner adamw update — and
+    # hence its count — only runs at accumulation boundaries), so the
+    # per-epoch decay boundary converts to optimizer steps (reference
+    # ExponentialLR steps once per epoch of optimizer steps,
+    # tasks/visinger.py:221-227 + trainer.py:339,368).
+    accum = max(int(cfg.get("accumulate_grad_batches", 1)), 1)
+    steps_per_epoch = max(steps_per_epoch // accum, 1)
     sched = optax.exponential_decay(
         init_value=cfg.lr,
         transition_steps=steps_per_epoch,

@@ -52,6 +52,15 @@ def make_train_step(cfg, model, disc, steps_per_epoch: int | None = None
     lambda_adv = float(cfg.lambda_mel_adv)
     disc_start_steps = int(cfg.disc_start_steps)
     disc_interval = int(cfg.disc_interval)
+    # With gradient accumulation, every step-indexed gate/schedule counts
+    # OPTIMIZER steps, not micro-batches (the reference's global_step
+    # advances once per optimizer step, utils/commons/trainer.py:339,368):
+    # state.step stays the micro-batch counter (resume/logging), and
+    # opt_step = state.step // accum drives disc_start/disc_interval gating
+    # and the KL warm-up.  The LR schedule already counts optimizer steps
+    # (optax.MultiSteps only calls the inner update at accumulation
+    # boundaries) — see make_optimizers for the per-epoch divide.
+    accum = max(int(cfg.get("accumulate_grad_batches", 1)), 1)
 
     def gen_loss_fn(params_g, params_d, batch, step, rngs):
         if batch["wavs"].dtype == jnp.int16:  # int16 PCM shipping: dequantize
@@ -129,9 +138,10 @@ def make_train_step(cfg, model, disc, steps_per_epoch: int | None = None
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         rng, k_sample, k_drop = jax.random.split(state.rng, 3)
         rngs = {"sample": k_sample, "dropout": k_drop}
+        opt_step = state.step // accum if accum > 1 else state.step
 
         (total_g, aux), grads_g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            state.params_g, state.params_d, batch, state.step, rngs)
+            state.params_g, state.params_d, batch, opt_step, rngs)
         # grad-norm metric doubles as the NaN tripwire (the reference's
         # print_nan_grads, trainer.py:358-365): non-finite shows up here.
         gnorm = optax.global_norm(grads_g)
@@ -162,8 +172,8 @@ def make_train_step(cfg, model, disc, steps_per_epoch: int | None = None
             params_d, opt_state_d, loss_d = skip_disc(
                 (state.params_d, state.opt_state_d))
         elif disc_start_steps > 0 or disc_interval > 1:
-            gate = jnp.logical_and(state.step >= disc_start_steps,
-                                   (state.step % disc_interval) == 0)
+            gate = jnp.logical_and(opt_step >= disc_start_steps,
+                                   (opt_step % disc_interval) == 0)
             params_d, opt_state_d, loss_d = jax.lax.cond(
                 gate, do_disc, skip_disc, (state.params_d, state.opt_state_d))
         else:  # statically always-on: avoid compiling the dead branch
