@@ -1,10 +1,24 @@
 """Benchmark: fused VISinger GAN train-step throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
+roofline fields (flops_per_step, tflops_per_s, mfu_bf16_peak, step_ms) when
+XLA cost analysis is available.
 
 Metric is mel-frames/s/chip for the full train step (generator fwd+bwd+update
 plus discriminator fwd+bwd+update — two backward passes per step, same as the
 reference's two-optimizer loop, tasks/visinger.py:53-89).
+
+TIMING HONESTY (round-3 fix): `jax.block_until_ready` resolves before
+execution finishes on the tunneled TPU backend (CLAUDE.md), so naive
+per-step timing measures dispatch pipelining, not execution — that artifact
+once recorded a physically impossible 415k frames/s (186 TF/s implied, above
+the chip's bf16 peak).  The timed unit here is therefore a CHAIN of
+``iters`` donated steps closed by one scalar readback that depends on the
+full final step (total_g: generator fwd+bwd; disc: discriminator pass;
+gnorm_g: every generator gradient) — steps are sequentially dependent
+through the donated state, so the readback waits for the whole chain.  A
+roofline assert refuses to record any number whose implied TF/s exceeds the
+chip peak.
 
 Default shape is B=16 x T=640: the per-chip throughput knee measured by a
 same-process sweep (B=4: 36.0k, B=8: 61.6k, B=16: 70.4k, B=32: 71.8k
@@ -30,6 +44,12 @@ the conservative end of the 30-60x range we observe for torch elsewhere):
 334.7 * 40 = 13,388 mel-frames/s.  Every factor in that chain is recorded
 here rather than assumed silently; re-run `python tools/torch_baseline.py
 step|jax-step` to reproduce the measured terms.
+
+Env knobs: BENCH_MODE=rtf (synthesis), BENCH_BATCH/FRAMES/TOKENS,
+BENCH_DTYPE=bfloat16, BENCH_PALLAS=1, BENCH_ABLATE=ctc,pitch,disc,
+BENCH_SESSIONS/TRIALS/ITERS/WARMUP, BENCH_DEVICES=all (DP over all chips),
+BENCH_CONFIG=<yaml path>, BENCH_PEAK_TFLOPS (roofline ceiling, default v5e
+bf16 ~197).
 """
 
 from __future__ import annotations
@@ -50,6 +70,34 @@ TORCH_CPU_MEL_FRAMES_PER_S = 334.7    # measured @ B=16 (tools/torch_baseline.py
 JAX_CPU_MEL_FRAMES_PER_S = 233.8      # measured (... jax-step), same CPU
 CPU_TO_A100_FACTOR = 40.0             # documented extrapolation, see docstring
 REFERENCE_MEL_FRAMES_PER_S = TORCH_CPU_MEL_FRAMES_PER_S * CPU_TO_A100_FACTOR
+# TPU v5e peak: ~197 TFLOP/s bf16 / ~394 TOP/s int8; fp32 matmul goes through
+# the same MXU at lower rate, so bf16 peak is the hard ceiling either way.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _load_bench_cfg():
+    path = os.environ.get("BENCH_CONFIG")
+    cfg = load_config(path) if path else load_config(name="visinger_csd")
+    dtype = os.environ.get("BENCH_DTYPE")
+    if dtype:
+        cfg = cfg.replace(compute_dtype=dtype)
+    if os.environ.get("BENCH_PALLAS"):
+        cfg = cfg.replace(use_pallas=True)
+    return cfg
+
+
+def _flops_per_step(step_fn, state, batch):
+    """FLOPs + bytes-accessed of the compiled step via XLA cost analysis
+    (None, None when the backend can't report it)."""
+    try:
+        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        return (flops or None), (bytes_acc or None)
+    except Exception:
+        return None, None
 
 
 def bench_rtf():
@@ -61,12 +109,7 @@ def bench_rtf():
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
-    cfg = load_config(name="visinger_csd")
-    dtype = os.environ.get("BENCH_DTYPE")
-    if dtype:
-        cfg = cfg.replace(compute_dtype=dtype)
-    if os.environ.get("BENCH_PALLAS"):
-        cfg = cfg.replace(use_pallas=True)
+    cfg = _load_bench_cfg()
     raw = synthetic_batch(batch_size, n_tokens, n_frames, vocab=60,
                           pitch_vocab=117, dur_vocab=98,
                           num_linear_bins=cfg.num_linear_bins,
@@ -144,10 +187,7 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
-    cfg = load_config(name="visinger_csd")
-    dtype = os.environ.get("BENCH_DTYPE")
-    if dtype:
-        cfg = cfg.replace(compute_dtype=dtype)
+    cfg = _load_bench_cfg()
     # ablations for bottleneck hunting: BENCH_ABLATE=ctc,pitch,disc
     ablate = set(filter(None, os.environ.get("BENCH_ABLATE", "").split(",")))
     if "ctc" in ablate:
@@ -188,36 +228,67 @@ def main():
         step_fn = jax.jit(make_train_step(cfg, model, disc),
                           donate_argnums=(0,))
 
+    # cost analysis BEFORE running (the backend compile is cached, so the
+    # jitted calls below reuse it)
+    flops, bytes_acc = _flops_per_step(step_fn, state, batch)
+
+    def exec_barrier(metrics) -> float:
+        # ONE scalar readback that depends on the full step: total_g =
+        # generator fwd (+ every loss), gnorm_g = every generator gradient,
+        # disc = the discriminator pass.  Outputs of a TPU program only
+        # materialize when the program finishes, and each step consumes the
+        # previous step's donated state, so this waits for the whole chain.
+        return float(jax.device_get(
+            metrics["total_g"] + metrics["disc"] + metrics["gnorm_g"]))
+
     for _ in range(warmup):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(state)
+    exec_barrier(metrics)
 
-    # The tunnel-attached chip shows up to ~40% run-to-run interference, so
-    # take the best per-trial median across several trials — the closest
-    # observable to the machine's uncontended speed.
+    # Chain `iters` steps per timed window with a single readback at the end
+    # (the readback round-trip amortizes to ~1/iters per step); best window
+    # over several trials = the machine's uncontended speed (~40% run-to-run
+    # interference on the shared tunnel chip).
     trials = int(os.environ.get("BENCH_TRIALS", 3))
-    medians = []
+    per_step = []
     for _ in range(trials):
-        times = []
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
             state, metrics = step_fn(state, batch)
-            jax.block_until_ready(state)
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        medians.append(times[len(times) // 2])
-    median = min(medians)
-    mel_frames_per_s = batch_size * n_frames / median
+        exec_barrier(metrics)
+        per_step.append((time.perf_counter() - t0) / iters)
+    step_s = min(per_step)
+    mel_frames_per_s = batch_size * n_frames / step_s
     rec = {
         "metric": "train_mel_frames_per_s_per_chip",
         "value": round(mel_frames_per_s / n_dev, 1),
         "unit": "mel-frames/s/chip",
         "vs_baseline": round(mel_frames_per_s / n_dev
                              / REFERENCE_MEL_FRAMES_PER_S, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "compute_dtype": str(cfg.compute_dtype),
+        "barrier": "chained-readback",
     }
     if n_dev > 1:
         rec["n_devices"] = n_dev
         rec["global_mel_frames_per_s"] = round(mel_frames_per_s, 1)
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS",
+                                       V5E_BF16_PEAK_TFLOPS))
+    if flops:
+        tflops = flops / n_dev / step_s / 1e12
+        rec["flops_per_step"] = flops
+        rec["tflops_per_s"] = round(tflops, 2)
+        rec["mfu_bf16_peak"] = round(tflops / peak_tflops, 4)
+        if bytes_acc:
+            rec["bytes_accessed_per_step"] = bytes_acc
+            rec["hbm_gbps_implied"] = round(bytes_acc / n_dev / step_s / 1e9, 1)
+        # Roofline sanity: refuse to record physically impossible numbers
+        # (a lying barrier shows up as implied TF/s above the chip peak).
+        if jax.devices()[0].platform == "tpu" and tflops > peak_tflops:
+            raise SystemExit(
+                f"bench artifact: implied {tflops:.0f} TF/s exceeds the "
+                f"~{peak_tflops:.0f} TF/s chip peak — the timing barrier is "
+                "lying; refusing to record")
     print(json.dumps(rec))
 
 

@@ -27,25 +27,33 @@ from visinger_tpu.training.train_step import make_train_step
 
 
 def time_step(cfg, batch, iters=10, trials=3):
+    """ms/step behind the chained-readback barrier (bench.py's): each timed
+    window runs ``iters`` donated steps closed by ONE scalar readback that
+    depends on the full final step, so the per-readback tunnel round-trip
+    amortizes to ~1/iters per step."""
     model, disc = build_models(cfg, ph_vocab=60, pitch_vocab=117, dur_vocab=98)
     state = init_state(cfg, model, disc, batch)
     step_fn = jax.jit(make_train_step(cfg, model, disc), donate_argnums=(0,))
+
+    def barrier(m):
+        return float(jax.device_get(m["total_g"] + m["disc"] + m["gnorm_g"]))
+
     t0 = time.time()
     state, metrics = step_fn(state, batch)
-    _ = float(metrics["total_g"])  # honest barrier (tunnel backend)
+    barrier(metrics)
     print(f"  compiled+first step in {time.time() - t0:.1f}s", flush=True)
-    medians = []
+    for _ in range(2):  # warm
+        state, metrics = step_fn(state, batch)
+    barrier(metrics)
+    per_step = []
     for _ in range(trials):
-        times = []
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
             state, metrics = step_fn(state, batch)
-            _ = float(metrics["total_g"])
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        medians.append(times[len(times) // 2])
+        barrier(metrics)
+        per_step.append((time.perf_counter() - t0) / iters)
     del state
-    return min(medians), metrics
+    return min(per_step), metrics
 
 
 def main():
