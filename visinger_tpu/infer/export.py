@@ -9,15 +9,20 @@ serving process can load and execute WITHOUT the model source code, flax,
 or the config system — only jax and the weight file.
 
 Artifact layout (a directory):
-  synthesis.jaxexport   serialized StableHLO program (jax.export bytes)
-  params.msgpack        generator weights (flax msgpack, template-free)
-  meta.json             input shapes, platforms, audio params, jax version
+  synthesis_t{N}_f{T}.jaxexport   serialized StableHLO program per exported
+                                  (token, frame) bucket shape
+  params.msgpack                  generator weights (flax msgpack)
+  meta.json                       bucket list, platforms, audio params,
+                                  use_spk_embed, jax version
 
-The program is exported at ONE static (batch, token, frame) bucket shape —
-the same static-shape discipline the live path uses (infer/infer.py
-_pad_to_bucket) — so the serving process pads exactly like the CLI does.
-Multi-platform lowering (cpu+tpu) means one artifact serves both a CPU
-smoke-test host and the TPU fleet.
+Programs are exported at static (batch, token, frame) bucket shapes — the
+same static-shape discipline the live path uses (infer/infer.py
+_pad_to_bucket) — so the serving process pads exactly like the CLI does and
+picks the smallest bucket that fits each score.  Multi-platform lowering
+(cpu+tpu) means one artifact serves both a CPU smoke-test host and the TPU
+fleet.  ``use_spk_embed: true`` models get an extra ``spk_embed [B, D]``
+float input (VERDICT r2 #8: the serving paths must carry the voice
+embedding, not silently drop it).
 """
 
 from __future__ import annotations
@@ -29,12 +34,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ARTIFACT_VERSION = 1
+ARTIFACT_VERSION = 2
 
 
-def _synthesis_fn(model):
+def _synthesis_fn(model, use_spk_embed: bool):
     """Flat-positional synthesis function (closure over module config only;
     all state arrives via ``params``)."""
+
+    if use_spk_embed:
+        def fn(params, text_tokens, note_pitch, note_dur, mel2ph, spk_ids,
+               spk_embed, seed):
+            rng = jax.random.PRNGKey(seed)
+            out = model.apply(
+                {"params": params},
+                text_tokens=text_tokens, pitch_tokens=note_pitch,
+                dur_tokens=note_dur, mel2ph=mel2ph, spk_id=spk_ids,
+                spk_embed=spk_embed,
+                infer=True, deterministic=True, rngs={"sample": rng})
+            return out["wav_out"]
+
+        return fn
 
     def fn(params, text_tokens, note_pitch, note_dur, mel2ph, spk_ids, seed):
         rng = jax.random.PRNGKey(seed)
@@ -48,48 +67,71 @@ def _synthesis_fn(model):
     return fn
 
 
+def _bucket_fn(n_tokens: int, n_frames: int) -> str:
+    return f"synthesis_t{n_tokens}_f{n_frames}.jaxexport"
+
+
 def export_synthesis(cfg, model, params_g, out_dir: str,
-                     batch_size: int = 1, n_tokens: int | None = None,
+                     batch_size: int = 1,
+                     buckets: list[tuple[int, int]] | None = None,
+                     n_tokens: int | None = None,
                      n_frames: int | None = None,
                      platforms: tuple[str, ...] | None = None) -> dict:
-    """Lower + serialize the synthesis program; write the artifact dir.
+    """Lower + serialize the synthesis program(s); write the artifact dir.
 
-    Defaults to the largest configured token/frame buckets (the shapes the
-    live CLI pads to).  Returns the meta dict.
+    ``buckets``: list of (n_tokens, n_frames) shapes to export — one program
+    each, sharing the single weight file.  Default: the largest configured
+    token/frame bucket (the shapes the live CLI pads to), or the single
+    (n_tokens, n_frames) pair when given.  Returns the meta dict.
     """
     from flax import serialization
 
-    n_tokens = int(n_tokens or max(cfg.token_buckets))
-    n_frames = int(n_frames or max(cfg.frame_buckets))
+    use_spk_embed = bool(cfg.get("use_spk_embed", False))
+    if buckets is None:
+        buckets = [(int(n_tokens or max(cfg.token_buckets)),
+                    int(n_frames or max(cfg.frame_buckets)))]
     i32 = jnp.int32
-    specs = (
-        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-                     params_g),
-        jax.ShapeDtypeStruct((batch_size, n_tokens), i32),   # text_tokens
-        jax.ShapeDtypeStruct((batch_size, n_tokens), i32),   # note_pitch
-        jax.ShapeDtypeStruct((batch_size, n_tokens), i32),   # note_dur
-        jax.ShapeDtypeStruct((batch_size, n_frames), i32),   # mel2ph
-        jax.ShapeDtypeStruct((batch_size,), i32),            # spk_ids
-        jax.ShapeDtypeStruct((), i32),                       # seed
-    )
     kw = {}
     if platforms:
         kw["platforms"] = list(platforms)
-    exported = jax.export.export(jax.jit(_synthesis_fn(model)), **kw)(*specs)
-
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "synthesis.jaxexport"), "wb") as f:
-        f.write(exported.serialize())
+    fn = jax.jit(_synthesis_fn(model, use_spk_embed))
+    param_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params_g)
+    spk_dim = 0
+    if use_spk_embed:
+        from visinger_tpu.utils.audio.spk_embed import SPK_EMBED_DIM
+
+        spk_dim = int(cfg.get("spk_embed_dim", SPK_EMBED_DIM))
+    exported_platforms = None
+    for nt, nf in buckets:
+        specs = [
+            param_specs,
+            jax.ShapeDtypeStruct((batch_size, nt), i32),   # text_tokens
+            jax.ShapeDtypeStruct((batch_size, nt), i32),   # note_pitch
+            jax.ShapeDtypeStruct((batch_size, nt), i32),   # note_dur
+            jax.ShapeDtypeStruct((batch_size, nf), i32),   # mel2ph
+            jax.ShapeDtypeStruct((batch_size,), i32),      # spk_ids
+        ]
+        if use_spk_embed:
+            specs.append(jax.ShapeDtypeStruct((batch_size, spk_dim),
+                                              jnp.float32))
+        specs.append(jax.ShapeDtypeStruct((), i32))        # seed
+        exported = jax.export.export(fn, **kw)(*specs)
+        exported_platforms = list(exported.platforms)
+        with open(os.path.join(out_dir, _bucket_fn(nt, nf)), "wb") as f:
+            f.write(exported.serialize())
     with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(
             jax.tree.map(np.asarray, params_g)))
     meta = {
         "artifact_version": ARTIFACT_VERSION,
         "jax_version": jax.__version__,
-        "platforms": list(exported.platforms),
+        "platforms": exported_platforms,
         "batch_size": batch_size,
-        "n_tokens": n_tokens,
-        "n_frames": n_frames,
+        "buckets": [[int(nt), int(nf)] for nt, nf in buckets],
+        "use_spk_embed": use_spk_embed,
+        "spk_embed_dim": spk_dim,
         "sample_rate": int(cfg.sample_rate),
         "hop_size": int(cfg.hop_size),
         "out_wav_norm": bool(cfg.get("out_wav_norm", True)),
@@ -103,33 +145,51 @@ class ExportedSynthesizer:
     """Load + run a serialized synthesis artifact (no model source needed).
 
     ``__call__`` takes unpadded int32 1-D score arrays (one score), pads to
-    the exported bucket shape, and returns the valid waveform samples.
+    the smallest exported bucket that fits, and returns the valid waveform
+    samples.
     """
 
     def __init__(self, art_dir: str):
         from flax import serialization
 
+        self.art_dir = art_dir
         with open(os.path.join(art_dir, "meta.json")) as f:
             self.meta = json.load(f)
         if self.meta["artifact_version"] > ARTIFACT_VERSION:
             raise ValueError(
                 f"artifact version {self.meta['artifact_version']} is newer "
                 f"than this loader ({ARTIFACT_VERSION})")
-        with open(os.path.join(art_dir, "synthesis.jaxexport"), "rb") as f:
-            self.exported = jax.export.deserialize(bytearray(f.read()))
+        if "buckets" in self.meta:
+            self.buckets = [tuple(b) for b in self.meta["buckets"]]
+        else:  # v1 artifact: one program named synthesis.jaxexport
+            self.buckets = [(self.meta["n_tokens"], self.meta["n_frames"])]
+        self.buckets.sort(key=lambda b: (b[1], b[0]))
         with open(os.path.join(art_dir, "params.msgpack"), "rb") as f:
             self.params = serialization.msgpack_restore(f.read())
-        self._call = jax.jit(self.exported.call)
+        self._calls: dict[tuple[int, int], object] = {}
+
+    def _call_for(self, bucket: tuple[int, int]):
+        if bucket not in self._calls:
+            fn = _bucket_fn(*bucket)
+            if not os.path.exists(os.path.join(self.art_dir, fn)):
+                fn = "synthesis.jaxexport"  # v1 layout
+            with open(os.path.join(self.art_dir, fn), "rb") as f:
+                exported = jax.export.deserialize(bytearray(f.read()))
+            self._calls[bucket] = jax.jit(exported.call)
+        return self._calls[bucket]
 
     def __call__(self, text_tokens, note_pitch, note_dur, mel2ph,
-                 spk_id: int = 0, seed: int = 0) -> np.ndarray:
+                 spk_id: int = 0, seed: int = 0,
+                 spk_embed=None) -> np.ndarray:
         m = self.meta
         n, t = len(text_tokens), len(mel2ph)
-        if n > m["n_tokens"] or t > m["n_frames"]:
+        fitting = [b for b in self.buckets if n <= b[0] and t <= b[1]]
+        if not fitting:
             raise ValueError(
-                f"score ({n} tokens, {t} frames) exceeds the exported bucket "
-                f"({m['n_tokens']}, {m['n_frames']}) — split into phrases or "
-                "re-export with larger buckets")
+                f"score ({n} tokens, {t} frames) exceeds every exported "
+                f"bucket {self.buckets} — split into phrases or re-export "
+                "with larger buckets")
+        nt, nf = fitting[0]
         b = m["batch_size"]
 
         def pad(x, width):
@@ -137,9 +197,14 @@ class ExportedSynthesizer:
             out[0, :len(x)] = np.asarray(x, np.int32)
             return out
 
-        wav = self._call(
-            self.params, pad(text_tokens, m["n_tokens"]),
-            pad(note_pitch, m["n_tokens"]), pad(note_dur, m["n_tokens"]),
-            pad(mel2ph, m["n_frames"]),
-            np.full((b,), spk_id, np.int32), np.int32(seed))
+        args = [self.params, pad(text_tokens, nt), pad(note_pitch, nt),
+                pad(note_dur, nt), pad(mel2ph, nf),
+                np.full((b,), spk_id, np.int32)]
+        if m.get("use_spk_embed"):
+            emb = np.zeros((b, m["spk_embed_dim"]), np.float32)
+            if spk_embed is not None:
+                emb[0] = np.asarray(spk_embed, np.float32)
+            args.append(emb)
+        args.append(np.int32(seed))
+        wav = self._call_for((nt, nf))(*args)
         return np.asarray(wav)[0, : t * m["hop_size"]]

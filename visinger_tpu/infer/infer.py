@@ -45,15 +45,26 @@ class VISingerInfer:
         # sp_infer: shard the frame axis of ONE score over all devices
         # (sequence-parallel serving, parallel/sp.py); single-device default
         # keeps the plain jit path.
+        # use_spk_embed models take a per-item voice embedding [B, D];
+        # callers may pass one to synthesize()/preprocess paths — default is
+        # the zero vector (the projection contributes only its bias).
+        self._use_spk_embed = bool(cfg.get("use_spk_embed", False))
         self._sp_mesh = None
         if cfg.get("sp_infer", False) and len(jax.devices()) > 1:
             from visinger_tpu.parallel.sp import jit_sp_infer, make_sp_mesh
 
             self._sp_mesh = make_sp_mesh()
-            sp_fn = jit_sp_infer(self.model, self._sp_mesh)
-            self._infer_fn = lambda params, batch, rng: sp_fn(
-                params, batch["text_tokens"], batch["note_pitch"],
-                batch["note_dur"], batch["mel2ph"], batch["spk_ids"], rng)
+            sp_fn = jit_sp_infer(self.model, self._sp_mesh,
+                                 use_spk_embed=self._use_spk_embed)
+            if self._use_spk_embed:
+                self._infer_fn = lambda params, batch, rng: sp_fn(
+                    params, batch["text_tokens"], batch["note_pitch"],
+                    batch["note_dur"], batch["mel2ph"], batch["spk_ids"],
+                    batch["spk_embed"], rng)
+            else:
+                self._infer_fn = lambda params, batch, rng: sp_fn(
+                    params, batch["text_tokens"], batch["note_pitch"],
+                    batch["note_dur"], batch["mel2ph"], batch["spk_ids"], rng)
         else:
             self._infer_fn = jax.jit(self._infer, static_argnames=())
 
@@ -114,7 +125,8 @@ class VISingerInfer:
         return int(self.cfg.binarization_args.get(key, default))
 
     # ------------------------------------------------------------------
-    def _pad_to_bucket(self, inp: dict) -> tuple[dict, int]:
+    def _pad_to_bucket(self, inp: dict,
+                       spk_embed: np.ndarray | None = None) -> tuple[dict, int]:
         cfg = self.cfg
         t = len(inp["mel2ph"])
         buckets = list(cfg.frame_buckets)
@@ -139,6 +151,13 @@ class VISingerInfer:
         batch["note_pitch"][0, :n] = inp["note_pitch"][:n]
         batch["note_dur"][0, :n] = inp["note_dur"][:n]
         batch["mel2ph"][0, :t] = inp["mel2ph"]
+        if self._use_spk_embed:
+            from visinger_tpu.utils.audio.spk_embed import SPK_EMBED_DIM
+
+            if spk_embed is None:
+                spk_embed = np.zeros((SPK_EMBED_DIM,), np.float32)
+            batch["spk_embed"] = np.asarray(
+                spk_embed, np.float32).reshape(1, -1)
         return batch, t
 
     def _infer(self, params_g, batch, rng):
@@ -149,6 +168,7 @@ class VISingerInfer:
             dur_tokens=batch["note_dur"],
             mel2ph=batch["mel2ph"],
             spk_id=batch["spk_ids"],
+            spk_embed=batch.get("spk_embed"),
             infer=True, deterministic=True,
             rngs={"sample": rng},
         )
@@ -179,11 +199,14 @@ class VISingerInfer:
         return phrases
 
     def synthesize(self, midi_fn: str, lyrics: list[str] | None = None,
-                   pitch_control: int = 0, seed: int = 0) -> tuple[np.ndarray, float]:
+                   pitch_control: int = 0, seed: int = 0,
+                   spk_embed: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, float]:
         """-> (waveform float32, rtf). rtf = synthesis time / audio seconds.
 
         Scores longer than the largest frame bucket are split into phrases
-        at silences and synthesized chunk-by-chunk."""
+        at silences and synthesized chunk-by-chunk.  ``spk_embed``: voice
+        embedding [D] for use_spk_embed models (default zero vector)."""
         cfg = self.cfg
         rows9 = self.score_rows(midi_fn, lyrics, pitch_control)
         max_frames = max(cfg.frame_buckets)
@@ -194,7 +217,7 @@ class VISingerInfer:
         wavs, dt_total = [], 0.0
         for phrase in phrases:
             inp = self.rows_to_inputs(phrase)
-            batch, t_valid = self._pad_to_bucket(inp)
+            batch, t_valid = self._pad_to_bucket(inp, spk_embed=spk_embed)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             t0 = time.perf_counter()
             wav = self._infer_fn(self.params_g, jb, jax.random.PRNGKey(seed))

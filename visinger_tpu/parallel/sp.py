@@ -41,7 +41,8 @@ def pad_frames_for_mesh(n_frames: int, mesh: Mesh,
     return -(-n_frames // m) * m
 
 
-def jit_sp_infer(model, mesh: Mesh, axis_name: str = "time") -> Callable:
+def jit_sp_infer(model, mesh: Mesh, axis_name: str = "time",
+                 use_spk_embed: bool = False) -> Callable:
     """Compile the infer branch with the frame axis sharded over ``mesh``.
 
     Returns ``fn(params, text_tokens, pitch_tokens, dur_tokens, mel2ph,
@@ -49,9 +50,29 @@ def jit_sp_infer(model, mesh: Mesh, axis_name: str = "time") -> Callable:
     multiple of the mesh size (`pad_frames_for_mesh`); token-level inputs
     and params are replicated, frame-level activations and the waveform ride
     the ``time`` axis.
+
+    ``use_spk_embed=True`` (a ``use_spk_embed: true`` model) adds a
+    replicated ``spk_embed [B, D]`` argument before ``rng`` — the voice
+    embedding is per-item, not per-frame, so it rides with the params.
     """
     repl = NamedSharding(mesh, P())
     frames = NamedSharding(mesh, P(None, axis_name))
+
+    if use_spk_embed:
+        def infer_fn(params, text_tokens, pitch_tokens, dur_tokens, mel2ph,
+                     spk_id, spk_embed, rng):
+            out = model.apply(
+                {"params": params}, text_tokens=text_tokens,
+                pitch_tokens=pitch_tokens, dur_tokens=dur_tokens,
+                mel2ph=mel2ph, spk_id=spk_id, spk_embed=spk_embed,
+                infer=True, deterministic=True, rngs={"sample": rng})
+            return out["wav_out"]
+
+        return jax.jit(
+            infer_fn,
+            in_shardings=(repl, repl, repl, repl, frames, repl, repl, repl),
+            out_shardings=frames,
+        )
 
     def infer_fn(params, text_tokens, pitch_tokens, dur_tokens, mel2ph,
                  spk_id, rng):
