@@ -9,7 +9,7 @@ reports the extrema of every tensor entering the KL term:
 so the spike can be attributed (activation explosion vs logs_p collapse).
 
 Usage (CPU env is forced):
-    python tools/kl_spike_diag.py --steps 40 --config tools/parity_run.yaml
+    python tools/kl_spike_diag.py --steps 40 --config configs/parity_run.yaml
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=40)
-    ap.add_argument("--config", default="tools/parity_run.yaml")
+    ap.add_argument("--config", default="configs/parity_run.yaml")
     ap.add_argument("--out", default="/tmp/kl_diag.jsonl")
     args = ap.parse_args()
 

@@ -235,7 +235,7 @@ def torch_losses(torch, model, disc, hp, sample, spec_fn, mel_fn, step=1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="tools/parity_run.yaml")
+    ap.add_argument("--config", default="configs/parity_run.yaml")
     ap.add_argument("--grads", action="store_true",
                     help="also compare per-loss generator grad norms")
     ap.add_argument("--train", type=int, default=0,
