@@ -118,3 +118,72 @@ def test_trainer_test_loop_quality_metrics(corpus, tmp_path):
         assert np.isfinite(r["mel_l1"]) and r["mel_l1"] > 0
     with open(tmp_path / "gen" / "results.json") as f:
         assert len(_json.load(f)) == len(results)
+
+
+def test_tb_media_logged_at_render(corpus, tmp_path):
+    """render_valid pushes audio (pred + GT-once) and the pred|GT mel figure
+    into TensorBoard (reference save_valid_result/plot_mel,
+    tasks/visinger.py:175-185, tasks/base.py:249-271) — VERDICT r2 #4."""
+    import os
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    from visinger_tpu.training.trainer import Trainer
+
+    cfg, binary = corpus
+    cfg = cfg.replace(work_dir=str(tmp_path / "exp_tb"), max_sentences=2,
+                      num_valid_plots=1, save_codes=False)
+    tr = Trainer(cfg)
+    assert tr.logger is not None and tr.logger._tb is not None
+    ds = VISingerDataset(cfg, cfg.valid_set_name)
+    batch = next(ds.batches(shuffle=False))
+    state = tr._init_state(batch)
+    tr.render_valid(state, ds, step=1, n_items=1)
+    tr.logger._tb.flush()
+    ea = EventAccumulator(os.path.join(cfg.work_dir, "tb"),
+                          size_guidance={"audio": 0, "images": 0})
+    ea.Reload()
+    tags = ea.Tags()
+    assert "wav_val_0" in tags["audio"], tags
+    assert "wav_gt_0" in tags["audio"], tags  # GT once, first render window
+    assert any("mel_val_0" in t for t in tags["images"]), tags
+
+
+def test_concat_dataset_and_dict_consistency(corpus, tmp_path):
+    """Multi-corpus concat training (reference BaseConcatDataset +
+    dict-consistency check, tasks/base.py:44-53) — VERDICT r2 missing #6."""
+    from visinger_tpu.data.dataset import (
+        ConcatVISingerDataset,
+        build_dataset,
+        check_dict_consistency,
+    )
+
+    cfg, binary = corpus
+    # a second corpus binarized with IDENTICAL dictionaries: same processed
+    # data, second binary dir
+    binary2 = str(tmp_path / "binary2")
+    Binarizer(cfg.replace(binary_data_dir=binary2)).process()
+
+    single = VISingerDataset(cfg, "train")
+    ds = build_dataset(cfg.replace(binary_data_dirs=[binary, binary2]),
+                       "train")
+    assert isinstance(ds, ConcatVISingerDataset)
+    assert len(ds) == 2 * len(single)
+    assert ds.item_length(len(single)) == ds.item_length(0)
+    batch = next(ds.batches(shuffle=False))
+    assert batch["mel2ph"].shape[1] in cfg.frame_buckets
+
+    # inconsistent dictionaries must be rejected
+    import shutil
+
+    binary3 = str(tmp_path / "binary3")
+    shutil.copytree(binary, binary3)
+    with open(f"{binary3}/pitch_map.json") as f:
+        pm = json.load(f)
+    pm["999"] = len(pm)  # a corpus binarized with a different note map
+    with open(f"{binary3}/pitch_map.json", "w") as f:
+        json.dump(pm, f)
+    with pytest.raises(ValueError, match="disagree"):
+        check_dict_consistency([binary, binary3])

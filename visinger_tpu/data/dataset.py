@@ -179,3 +179,70 @@ class VISingerDataset:
                 while len(items) < max_sentences:
                     items.append(items[-1])
             yield self.collate(items, n_real=n_real)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dataset concat training (reference BaseConcatDataset + the token-map
+# consistency check, tasks/base.py:44-53, utils/commons/dataset_utils.py:
+# 205-219): several binarized corpora train as one dataset provided they
+# share the exact token dictionaries.
+# ---------------------------------------------------------------------------
+
+_SHARED_DICTS = ("phone_set.json", "pitch_map.json", "dur_map.json",
+                 "tempo_map.json", "spk_map.json")
+
+
+def check_dict_consistency(data_dirs: Sequence[str]) -> None:
+    """Every concatenated corpus must be binarized with identical token
+    dictionaries — token ids are meaningless across mismatched maps."""
+    import json
+    import os
+
+    ref_dir = data_dirs[0]
+    for name in _SHARED_DICTS:
+        ref_fn = os.path.join(ref_dir, name)
+        if not os.path.exists(ref_fn):
+            continue
+        with open(ref_fn) as f:
+            ref = json.load(f)
+        for d in data_dirs[1:]:
+            with open(os.path.join(d, name)) as f:
+                other = json.load(f)
+            if other != ref:
+                raise ValueError(
+                    f"concat datasets disagree on {name}: {d} vs {ref_dir} — "
+                    "re-binarize every corpus with shared dictionaries")
+
+
+class ConcatVISingerDataset(VISingerDataset):
+    """Concatenation of several binarized corpora behind the VISingerDataset
+    interface; collate/batches/token-bucketing are inherited unchanged."""
+
+    def __init__(self, cfg, prefix: str, data_dirs: Sequence[str]):
+        check_dict_consistency(list(data_dirs))
+        self.cfg = cfg
+        self.hop_size = cfg.hop_size
+        self.parts = [VISingerDataset(cfg, prefix, data_dir=d)
+                      for d in data_dirs]
+        self._index = [(p, i) for p, part in enumerate(self.parts)
+                       for i in range(len(part))]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def item_length(self, i: int) -> int:
+        p, j = self._index[i]
+        return self.parts[p].item_length(j)
+
+    def __getitem__(self, i: int) -> dict:
+        p, j = self._index[i]
+        return self.parts[p][j]
+
+
+def build_dataset(cfg, prefix: str) -> VISingerDataset:
+    """cfg.binary_data_dirs (list) -> concat training over every corpus;
+    otherwise the single cfg.binary_data_dir."""
+    dirs = cfg.get("binary_data_dirs")
+    if dirs:
+        return ConcatVISingerDataset(cfg, prefix, list(dirs))
+    return VISingerDataset(cfg, prefix)

@@ -128,7 +128,7 @@ def cmd_binarize(args):
 
 
 def cmd_infer(args):
-    from visinger_tpu.data.dataset import VISingerDataset  # noqa: F401
+    from visinger_tpu.data.dataset import build_dataset  # noqa: F401
     from visinger_tpu.infer.infer import VISingerInfer
     from visinger_tpu.models.factory import build_models
     from visinger_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
@@ -219,9 +219,13 @@ def cmd_export(args):
     state = restore_checkpoint(ckpt, template)
     print(f"| exporting {ckpt} (step {int(state.step)})")
     platforms = tuple(p for p in args.platforms.split(",") if p) or None
+    buckets = None
+    if args.buckets:  # "96x800,48x320" -> [(96, 800), (48, 320)]
+        buckets = [tuple(int(v) for v in part.split("x"))
+                   for part in args.buckets.split(",") if part]
     meta = export_synthesis(
         cfg, model, state.params_g, args.out_dir,
-        batch_size=args.batch_size, platforms=platforms)
+        batch_size=args.batch_size, buckets=buckets, platforms=platforms)
     print(f"| wrote artifact to {args.out_dir}: {json.dumps(meta)}")
 
 
@@ -233,9 +237,9 @@ def cmd_test(args):
 
     cfg = _resolve_config(args, persist=False)
     tr = Trainer(cfg)
-    from visinger_tpu.data.dataset import VISingerDataset
+    from visinger_tpu.data.dataset import build_dataset
 
-    ds = VISingerDataset(cfg, cfg.train_set_name)
+    ds = build_dataset(cfg, cfg.train_set_name)
     first = next(ds.batches(shuffle=False))
     state = tr._init_state(first)
     state, step = restore_latest(cfg.work_dir, state)
@@ -250,11 +254,11 @@ def cmd_validate(args):
     --validate)."""
     from visinger_tpu.training.checkpoint import restore_latest
     from visinger_tpu.training.trainer import Trainer
-    from visinger_tpu.data.dataset import VISingerDataset
+    from visinger_tpu.data.dataset import build_dataset
 
     cfg = _resolve_config(args, persist=False)
     tr = Trainer(cfg)
-    ds = VISingerDataset(cfg, cfg.train_set_name)
+    ds = build_dataset(cfg, cfg.train_set_name)
     first = next(ds.batches(shuffle=False))
     state = tr._init_state(first)
     state, step = restore_latest(cfg.work_dir, state)
@@ -268,9 +272,14 @@ def cmd_synth_data(args):
     from visinger_tpu.data.synthetic_corpus import generate_corpus
 
     cfg = _resolve_config(args)
-    generate_corpus(cfg.processed_data_dir, n_items=args.n_items,
-                    sample_rate=cfg.sample_rate)
-    print(f"| synthetic corpus at {cfg.processed_data_dir}")
+    # corpus shape from the config (configs/tpu_run.yaml synth_*) unless
+    # overridden on the CLI
+    n_items = args.n_items or int(cfg.get("synth_n_items", 12))
+    notes = tuple(cfg.get("synth_notes", (4, 8)))
+    generate_corpus(cfg.processed_data_dir, n_items=n_items,
+                    sample_rate=cfg.sample_rate, notes_per_item=notes)
+    print(f"| synthetic corpus at {cfg.processed_data_dir} "
+          f"({n_items} items, {notes[0]}-{notes[1]} notes)")
 
 
 def main(argv=None):
@@ -294,12 +303,17 @@ def main(argv=None):
             sp.add_argument("--out_dir", default="")
             sp.add_argument("--pitch_control", type=int, default=0)
         if name == "synth-data":
-            sp.add_argument("--n_items", type=int, default=12)
+            sp.add_argument("--n_items", type=int, default=0,
+                            help="0 = from config synth_n_items (default 12)")
         if name == "export":
             sp.add_argument("--out_dir", default="exported_model")
             sp.add_argument("--batch_size", type=int, default=1)
             sp.add_argument("--platforms", default="cpu,tpu",
                             help="comma-separated lowering platforms")
+            sp.add_argument("--buckets", default="",
+                            help="'<tokens>x<frames>,...' shapes to export "
+                                 "into one artifact (default: the largest "
+                                 "configured bucket)")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

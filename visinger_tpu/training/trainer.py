@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from visinger_tpu.data.dataset import VISingerDataset, batch_by_size
+from visinger_tpu.data.dataset import build_dataset, batch_by_size
 from visinger_tpu.models.factory import build_models
 from visinger_tpu.parallel import make_mesh, shard_batch
 from visinger_tpu.training.checkpoint import restore_latest, save_checkpoint
@@ -52,12 +52,34 @@ class MetricLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
+    # TB media (reference save_valid_result/plot_mel pushes rendered audio
+    # and mel figures into TensorBoard, tasks/visinger.py:175-185 +
+    # tasks/base.py:249-271) — no-ops when TB is unavailable.
+    def add_audio(self, tag: str, wav, step: int, sample_rate: int):
+        if self._tb is None:
+            return
+        import torch
+
+        w = torch.from_numpy(np.asarray(wav, np.float32)).clamp(-1.0, 1.0)
+        self._tb.add_audio(tag, w.unsqueeze(0), step, sample_rate=sample_rate)
+
+    def add_figure(self, tag: str, fig, step: int):
+        if self._tb is None:
+            return
+        self._tb.add_figure(tag, fig, step)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
 
 class Trainer:
     def __init__(self, cfg, work_dir: str | None = None):
         self.cfg = cfg
         self.work_dir = work_dir or cfg.work_dir
-        data_dir = cfg.binary_data_dir
+        # concat training (binary_data_dirs): the consistency check
+        # guarantees every corpus shares dictionaries, so read the first's
+        data_dir = (list(cfg.binary_data_dirs)[0]
+                    if cfg.get("binary_data_dirs") else cfg.binary_data_dir)
         self.token_encoder = build_token_encoder(f"{data_dir}/phone_set.json")
         with open(f"{data_dir}/pitch_map.json") as f:
             pitch_map = json.load(f)
@@ -107,8 +129,8 @@ class Trainer:
     def fit(self, max_updates: int | None = None):
         cfg = self.cfg
         max_updates = max_updates or cfg.max_updates
-        train_ds = VISingerDataset(cfg, cfg.train_set_name)
-        valid_ds = VISingerDataset(cfg, cfg.valid_set_name)
+        train_ds = build_dataset(cfg, cfg.train_set_name)
+        valid_ds = build_dataset(cfg, cfg.valid_set_name)
         if jax.process_index() == 0 and cfg.get("save_codes", True):
             self._snapshot_code()
         first = next(train_ds.batches(shuffle=False))
@@ -370,6 +392,11 @@ class Trainer:
             wavs = np.asarray(wavs)
             f0_pred = None if f0_pred is None else np.asarray(f0_pred)
             mels = np.asarray(log_mel_spectrogram(jnp.asarray(wavs), mel_params))
+            gt_wavs = np.asarray(batch["wavs"], np.float32)
+            if batch["wavs"].dtype == np.int16:
+                gt_wavs = gt_wavs / 32767.0
+            gt_mels = np.asarray(log_mel_spectrogram(
+                jnp.asarray(gt_wavs), mel_params))
             for i in range(wavs.shape[0]):
                 if done >= n_items:
                     return
@@ -389,11 +416,34 @@ class Trainer:
                         f0_pred[i, :t, 0], uv=(f0_pred[i, :t, 1] > 0))
                 mel2ph = np.asarray(batch["mel2ph"][i][:t])
                 duration_gt = np.bincount(mel2ph)[1:]  # frames per token
+                vmin = cfg.get("mel_vmin", -7)
+                vmax = cfg.get("mel_vmax", 12)
                 save_spec_png(f"{out_dir}/item{done}_mel.png", mels[i, :t],
-                              vmin=cfg.get("mel_vmin", -7),
-                              vmax=cfg.get("mel_vmax", 12),
-                              f0s=f0s or None,
+                              vmin=vmin, vmax=vmax, f0s=f0s or None,
                               dur_info={"duration_gt": duration_gt})
+                # TB media (reference save_valid_result/plot_mel,
+                # tasks/visinger.py:175-185): predicted audio each render,
+                # GT audio once in the first render window, and a
+                # pred-|-GT side-by-side mel figure with overlays.
+                if self.logger is not None:
+                    sr = int(cfg.sample_rate)
+                    peak = max(float(np.max(np.abs(wav))), 1e-6)
+                    self.logger.add_audio(f"wav_val_{done}", wav / peak,
+                                          step, sr)
+                    if step <= int(cfg.valid_infer_interval):
+                        self.logger.add_audio(
+                            f"wav_gt_{done}",
+                            gt_wavs[i, : t * cfg.hop_size], step, sr)
+                    from visinger_tpu.utils.plot import spec_to_figure
+
+                    side_by_side = np.concatenate(
+                        [mels[i, :t], gt_mels[i, :t]], axis=-1)
+                    self.logger.add_figure(
+                        f"mel_val_{done}",
+                        spec_to_figure(side_by_side, vmin=vmin, vmax=vmax,
+                                       f0s=f0s or None,
+                                       dur_info={"duration_gt": duration_gt}),
+                        step)
                 done += 1
             if done >= n_items:
                 return
@@ -418,7 +468,7 @@ class Trainer:
         from visinger_tpu.training.train_step import make_eval_step
 
         cfg = self.cfg
-        valid_ds = VISingerDataset(cfg, cfg.valid_set_name)
+        valid_ds = build_dataset(cfg, cfg.valid_set_name)
         eval_fn = jax.jit(make_eval_step(cfg, self.model))
         key = jax.random.PRNGKey(0)
         sums: dict = {}
@@ -451,7 +501,7 @@ class Trainer:
         mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
                                 cfg.sample_rate, float(cfg.fmin),
                                 float(cfg.fmax), cfg.num_mel_bins)
-        test_ds = VISingerDataset(cfg, cfg.test_set_name)
+        test_ds = build_dataset(cfg, cfg.test_set_name)
         out_dir = out_dir or os.path.join(
             self.work_dir, f"generated_{int(jax.device_get(state.step))}")
         os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
