@@ -94,3 +94,68 @@ def test_phonemize_rows_silence_blocks_rules():
 def test_normalize_text_numbers_latin():
     assert normalize_text("3") == "삼"
     assert normalize_text("b") == "비"
+
+
+LEXICAL_GOLDEN = [
+    # 밟- exception (제10항 단서)
+    ("밟다", "밥따"),
+    ("밟고", "밥꼬"),
+    ("밟는", "밤는"),
+    # 넓죽/넓둥 compounds
+    ("넓죽", "넙쭉"),
+    ("넓둥", "넙뚱"),
+    ("넓다", "널따"),        # default ㄼ -> ㄹ elsewhere
+    # ㄺ + ㄱ (제11항 단서)
+    ("맑게", "말께"),
+    ("읽고", "일꼬"),
+    ("묽고", "물꼬"),
+    ("닭", "닥"),            # default ㄺ -> ㄱ elsewhere
+    ("맑다", "막따"),
+    # compound ㄴ-insertion (제29항 lexicon)
+    ("꽃잎", "꼰닙"),
+    ("솜이불", "솜니불"),
+    ("색연필", "생년필"),
+    ("한여름", "한녀름"),
+    ("담요", "담뇨"),
+    ("막일", "망닐"),
+    ("식용유", "시굥뉴"),
+]
+
+
+@pytest.mark.parametrize("src,expect", LEXICAL_GOLDEN)
+def test_lexical_exceptions(src, expect):
+    """The g2pk-grade lexical exceptions (VERDICT r2 #6 / missing #3)."""
+    assert g2p_syllables(src) == expect
+
+
+NUMBER_GOLDEN = [
+    # reference num_to_hangeul scope (preprocessor/text/ko_sing.py:92-165)
+    ("3.5", "삼쩜 오"),
+    ("0.5", "영쩜 오"),
+    ("2.04", "이쩜 영사"),
+    ("-7", "마이너스 칠"),
+    ("+2", "플러스 이"),
+    ("007", "공공칠"),
+    ("1,234", "천이백삼십사"),
+    ("12,345,678", "천이백삼십사만오천육백칠십팔"),
+    # native-Korean count readings before counter words (count_checker)
+    ("3마리", "세마리"),
+    ("1살", "한살"),
+    ("11살", "열한살"),
+    ("20명", "스물명"),
+    ("32송이", "서른두송이"),
+    ("102마리", "백이마리"),   # >2 digits fall back to sino (reference rule)
+    ("3시", "세시"),
+    ("5개월", "오개월"),       # 개(?!월): 개월 is NOT a native counter
+    # measurement units (unit_dict)
+    ("5km", "오킬로미터"),
+    ("100%", "백퍼센트"),
+    ("36.5℃", "삼십육쩜 오도"),
+]
+
+
+@pytest.mark.parametrize("src,expect", NUMBER_GOLDEN)
+def test_number_normalization_golden(src, expect):
+    """Floats, signs, leading zeros, native count readings and units
+    (VERDICT r2 #6; reference korean.json + num_to_hangeul)."""
+    assert normalize_text(src) == expect

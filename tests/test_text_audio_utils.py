@@ -131,3 +131,44 @@ def test_midi_write_read_roundtrip(tmp_path):
     # tick->seconds: 480 ticks at 120bpm == 0.5 s
     t2s = m.tick_to_seconds()
     assert abs(t2s(480) - 0.5) < 1e-9
+
+
+def test_save_wav_mp3_transcodes_and_cleans_up(tmp_path, monkeypatch):
+    """save_wav('*.mp3') transcodes through ffmpeg and removes the
+    intermediate wav (reference utils/audio/io.py:8-23).  The image ships no
+    ffmpeg, so a stub on PATH stands in and records its invocation."""
+    import os
+    import stat
+
+    import numpy as np
+
+    from visinger_tpu.utils.audio.io import save_wav
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    log = tmp_path / "ffmpeg_args.txt"
+    stub = bin_dir / "ffmpeg"
+    stub.write_text("#!/bin/sh\n"
+                    f'echo "$@" > "{log}"\n'
+                    'for a in "$@"; do out="$a"; done\n'
+                    'echo mp3 > "$out"\n')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+    out = tmp_path / "song.mp3"
+    save_wav(np.zeros(1000, np.float32), str(out), 24000)
+    assert out.exists()
+    assert not (tmp_path / "song.wav").exists()  # intermediate removed
+    args = log.read_text()
+    assert "-b:a 192k" in args and "song.wav" in args
+
+
+def test_save_wav_mp3_without_ffmpeg_raises(tmp_path, monkeypatch):
+    import numpy as np
+    import pytest as _pytest
+
+    from visinger_tpu.utils.audio.io import save_wav
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # empty PATH: no ffmpeg
+    with _pytest.raises(RuntimeError, match="ffmpeg"):
+        save_wav(np.zeros(100, np.float32), str(tmp_path / "x.mp3"), 24000)

@@ -22,8 +22,14 @@ natively here, operating on (lead, vowel, tail) jamo index triples:
 Rule application is length-preserving (syllable count never changes), which
 the pipeline relies on when redistributing converted syllables back to
 notes (the reference asserts the same, ko_sing.py:178).  Lexical exceptions
-(e.g. 밟-, compound-word ㄴ-insertion) are out of scope — g2pk still takes
-precedence when importable (utils/text/korean.py:try_g2p).
+are handled where they can be without a morphological analyzer (g2pk uses
+one; it still takes precedence when importable, utils/text/korean.py:try_g2p):
+  - 밟- reads its coda as ㅂ before consonants (제10항 단서: 밟다→밥따),
+    plus the 넓죽/넓둥 compounds;
+  - ㄺ reads as ㄹ before ㄱ with the ㄱ tensified (제11항 단서: 맑게→말께) —
+    applied unconditionally, though the standard scopes it to verb stems;
+  - compound-word ㄴ-insertion (제29항: 꽃잎→꼰닙) via a lexicon of the
+    standard's example compounds (full generality needs morphology).
 """
 
 from __future__ import annotations
@@ -62,6 +68,20 @@ _NEUTRAL_COMPLEX = {"ㄳ": "ㄱ", "ㄵ": "ㄴ", "ㄶ": "ㄴ", "ㄺ": "ㄱ",
 _ASPIRATE = {"ㄱ": "ㅋ", "ㄷ": "ㅌ", "ㅈ": "ㅊ", "ㅂ": "ㅍ"}
 _TENSE = {"ㄱ": "ㄲ", "ㄷ": "ㄸ", "ㅂ": "ㅃ", "ㅅ": "ㅆ", "ㅈ": "ㅉ"}
 _NASALIZE = {"ㄱ": "ㅇ", "ㄷ": "ㄴ", "ㅂ": "ㅁ"}
+
+# ㄴ-insertion lexicon (표준발음법 제29항 example compounds + common words):
+# word -> syllable indices whose ㅇ onset becomes ㄴ before the regular
+# rules run (the subsequent nasalization/neutralization then produces the
+# standard surface form, e.g. 꽃잎 -> 꽃닙 -> 꼰닙).
+_N_INSERTION = {
+    "솜이불": [1], "홑이불": [1], "막일": [1], "삯일": [1], "맨입": [1],
+    "꽃잎": [1], "내복약": [2], "한여름": [1], "남존여비": [2],
+    "신여성": [1], "색연필": [1], "직행열차": [2], "늑막염": [2],
+    "콩엿": [1], "담요": [1], "눈요기": [1], "영업용": [2], "식용유": [2],
+    "밤윷": [1], "물약": [1], "서울역": [2], "휘발유": [2],
+}
+# vowels that license ㄴ-insertion (이 야 여 요 유)
+_N_INSERT_VOWELS = {20, 2, 6, 12, 17}
 
 
 def _decompose(ch: str):
@@ -141,8 +161,29 @@ def _apply_boundary(cur, nxt):
 
     # --- before a consonant: neutralize the coda first (제8-11항)
     if tail:
-        cur[2] = _T[_NEUTRAL_COMPLEX.get(tail) or _NEUTRAL_SINGLE[tail]]
-        tail = _TAILS[cur[2]]
+        if tail == "ㄼ" and cur[0] == _L["ㅂ"] and cur[1] == 0:
+            # 밟- exception (제10항 단서): 밟다 -> 밥따, 밟는 -> 밤는
+            cur[2] = _T["ㅂ"]
+        elif tail == "ㄼ" and cur[0] == _L["ㄴ"] and cur[1] == 4 \
+                and ((lead == "ㅈ" and nxt[1] == 13)
+                     or (lead == "ㄷ" and nxt[1] == 13)):
+            # 넓죽-/넓둥- compounds (제10항 단서): 넓죽 -> 넙쭉
+            cur[2] = _T["ㅂ"]
+        elif tail == "ㄺ" and lead == "ㄱ":
+            # ㄺ + ㄱ (제11항 단서): 맑게 -> 말께, 묽고 -> 물꼬.  The standard
+            # scopes this to verb stems; without morphology it is applied to
+            # every ㄺ+ㄱ boundary (g2pk disambiguates via its analyzer).
+            cur[2] = _T["ㄹ"]
+            nxt[0] = _L["ㄲ"]
+            return
+        else:
+            cur[2] = _T[_NEUTRAL_COMPLEX.get(tail) or _NEUTRAL_SINGLE[tail]]
+        orig_tail, tail = tail, _TAILS[cur[2]]
+        # 제25항: ㄼ/ㄾ stem codas tensify the following obstruent even after
+        # simplifying to ㄹ (넓다 -> 널따, 핥다 -> 할따)
+        if orig_tail in ("ㄼ", "ㄾ") and tail == "ㄹ" and lead in _TENSE:
+            nxt[0] = _L[_TENSE[lead]]
+            return
 
     # --- lateralization (제20항): ㄴㄹ / ㄹㄴ -> ㄹㄹ
     if tail == "ㄴ" and lead == "ㄹ":
@@ -176,6 +217,17 @@ def g2p_syllables(text: str) -> str:
     pass through and act as rule boundaries.  Length-preserving."""
     out = list(text)
     tris = [_decompose(ch) for ch in out]
+    # compound ㄴ-insertion (제29항) from the lexicon, before the regular
+    # rules so nasalization/neutralization finish the derivation
+    for word, positions in _N_INSERTION.items():
+        start = text.find(word)
+        while start != -1:
+            for p in positions:
+                tri = tris[start + p]
+                if tri is not None and _LEADS[tri[0]] == "ㅇ" \
+                        and tri[1] in _N_INSERT_VOWELS:
+                    tri[0] = _L["ㄴ"]
+            start = text.find(word, start + 1)
     for i in range(len(out) - 1):
         if tris[i] is not None and tris[i + 1] is not None:
             _apply_boundary(tris[i], tris[i + 1])

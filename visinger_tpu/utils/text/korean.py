@@ -94,10 +94,92 @@ def number_to_hangul(num: int) -> str:
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Number normalization — parity with the reference's num_to_hangeul +
+# korean.json dictionaries (preprocessor/text/ko_sing.py:82-165):
+#   - measurement units replaced before number reading (unit_dict)
+#   - native-Korean count readings (한/두/세... 열/스물/서른...) when a
+#     1-2-digit integer precedes a counter word (count_checker/count_dict/
+#     count_tenth_dict)
+#   - floats: integer part + "쩜 " + digit-by-digit fraction
+#   - signs: 플러스/마이너스 prefixes
+#   - leading zeros read as 공 per zero ("007" -> 공공칠)
+# Documented intended-behavior fixes vs the reference:
+#   - its leading-zero branch calls the nonexistent str.startwith (crashes on
+#     ANY multi-digit number) and counts every zero, not just leading ones;
+#   - its 만-group order lists 해 before 경 (standard is ..조, 경, 해);
+#   - its normalize_english tests `word in dict` (the builtin) — a no-op; we
+#     read Latin via the letter table below instead.
+# ---------------------------------------------------------------------------
+
+_UNIT_WORDS = {"%": "퍼센트", "ml": "밀리리터", "mm": "밀리미터",
+               "cm": "센치미터", "km": "킬로미터", "kg": "킬로그램",
+               "℃": "도", "㎢": "제곱킬로미터", "㎥": "세제곱미터",
+               "m": "미터"}
+# counter words that take native-Korean readings (reference count_checker)
+_COUNT_UNITS = ("시|명|가지|살|마리|포기|송이|수|톨|통|점|개(?!월)|벌|척|채|"
+                "다발|그루|자루|줄|켤레|그릇|잔|마디|상자|사람|곡|병|판")
+_NATIVE_ONES = ["", "한", "두", "세", "네", "다섯", "여섯", "일곱", "여덟",
+                "아홉"]
+_NATIVE_TENS = {1: "열", 2: "스물", 3: "서른", 4: "마흔", 5: "쉰",
+                6: "예순", 7: "일흔", 8: "여든", 9: "아흔"}
+
+_NUM_PAT = r"([+-]?\d{1,3}(?:,\d{3})+(?!\d)|[+-]?\d+)(\.\d+)?"
+_COUNT_RE = re.compile(_NUM_PAT + r"\s?(" + _COUNT_UNITS + r")")
+_PLAIN_NUM_RE = re.compile(_NUM_PAT)
+
+
+def number_to_hangul_native(n: int) -> str:
+    """Native-Korean counting reading for 0..99 (한, 두, ... 스물하나 식)."""
+    if not 0 <= n < 100:
+        raise ValueError(f"native reading covers 0-99, got {n}")
+    if n == 0:
+        return "영"
+    tens, ones = divmod(n, 10)
+    return _NATIVE_TENS.get(tens, "") + _NATIVE_ONES[ones]
+
+
+def read_number(int_part: str, frac: str | None = None,
+                is_count: bool = False) -> str:
+    """One matched number -> Hangul reading (reference num_to_hangeul)."""
+    s = int_part.replace(",", "")
+    prefix = ""
+    if s and s[0] in "+-":
+        prefix = "플러스 " if s[0] == "+" else "마이너스 "
+        s = s[1:]
+    zeros = ""
+    if len(s) > 1 and s.startswith("0") and not frac:
+        stripped = s.lstrip("0")
+        zeros = "공" * (len(s) - len(stripped))
+        s = stripped or "0"
+    if is_count and (frac or len(s) > 2):
+        # counts are small native-Korean integers; anything else reads sino
+        # (reference flips is_count off for >2 digits and raises on floats)
+        is_count = False
+    n = int(s or "0")
+    if is_count:
+        kor = number_to_hangul_native(n)
+    else:
+        kor = number_to_hangul(n)
+    if frac:
+        digits = frac.lstrip(".")
+        kor = ("영" if n == 0 and not zeros else kor) + "쩜 " + "".join(
+            _SINO_DIGITS[int(d)] if d != "0" else "영" for d in digits)
+    return prefix + zeros + kor
+
+
 def normalize_text(text: str) -> str:
-    """Lyric normalization: numbers and Latin letters -> Hangul readings,
-    strip everything that is neither Hangul nor space."""
-    text = re.sub(r"\d+", lambda m: number_to_hangul(int(m.group())), text)
+    """Lyric normalization: measurement units, numbers (native-Korean count
+    readings before counter words, sino otherwise, floats, signs) and Latin
+    letters -> Hangul readings; strip everything that is neither Hangul nor
+    space."""
+    for unit, word in _UNIT_WORDS.items():
+        text = text.replace(unit, word)
+    text = _COUNT_RE.sub(
+        lambda m: read_number(m.group(1), m.group(2), is_count=True)
+        + m.group(3), text)
+    text = _PLAIN_NUM_RE.sub(
+        lambda m: read_number(m.group(1), m.group(2)), text)
     text = "".join(
         _LATIN_READING.get(c.lower(), c) if c.isascii() and c.isalpha() else c
         for c in text
