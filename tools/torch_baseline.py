@@ -283,9 +283,11 @@ def mode_jax_step(warmup: int, iters: int):
 
 
 def mode_train(n_steps: int, out_fn: str, data_dir: str,
-               config: str | None = None):
+               config: str | None = None, save_ckpt: str | None = None):
     """Reference training on OUR binarized corpus; JSONL losses for
-    loss-curve parity (PARITY.md)."""
+    loss-curve parity (PARITY.md).  ``--save_ckpt x.pt`` checkpoints the
+    torch model (every 500 steps + at the end) so `synth` can render the
+    test split for the quality-parity table."""
     if config:
         from visinger_tpu.config import load_config
 
@@ -318,6 +320,15 @@ def mode_train(n_steps: int, out_fn: str, data_dir: str,
 
     ds = VISingerDataset(cfg, "train")
     step = 0
+
+    def _save(tag=""):
+        if not save_ckpt:
+            return
+        torch.save({"model": model.state_dict(), "disc": disc.state_dict(),
+                    "step": step}, save_ckpt + ".part")
+        os.replace(save_ckpt + ".part", save_ckpt)
+        print(f"| saved {save_ckpt} @ step {step}{tag}")
+
     with open(out_fn, "w") as f:
         while step < n_steps:
             for raw in ds.batches(seed=step, pad_to_max_sentences=False):
@@ -338,22 +349,108 @@ def mode_train(n_steps: int, out_fn: str, data_dir: str,
                     print(f"| torch step {step}: " + ", ".join(
                         f"{k}={v:.2f}" for k, v in sorted(losses.items())
                         if k not in ("step",)))
+                if step % 500 == 0:
+                    _save()
+    _save(" (final)")
     print(f"| wrote {out_fn}")
+
+
+def mode_synth(ckpt_fn: str, out_dir: str, config: str | None = None,
+               split: str = "test"):
+    """Synthesize a split with the torch reference from a `train --save_ckpt`
+    checkpoint and record the same objective quality metrics the JAX test
+    loop records (utils/audio/quality.py) — the torch half of
+    artifacts/parity/quality_table.md."""
+    from visinger_tpu.config import load_config
+    from visinger_tpu.ops.stft import STFTParams
+    from visinger_tpu.utils.audio.io import save_wav
+    from visinger_tpu.utils.audio.quality import f0_metrics, mcd, mel_l1_np
+    from visinger_tpu.utils.text.token_encoder import build_token_encoder
+
+    cfg = load_config(config) if config else _load_cfg()
+    data_dir = cfg.binary_data_dir
+    with open(f"{data_dir}/pitch_map.json") as f:
+        pv = len(json.load(f))
+    with open(f"{data_dir}/dur_map.json") as f:
+        dv = len(json.load(f))
+    enc = build_token_encoder(f"{data_dir}/phone_set.json")
+    torch, model, disc, _og, _od, hp = _torch_setup(cfg)
+    from models.visinger import VISinger
+
+    model = VISinger(len(enc), pv, dv, hp)
+    ckpt = torch.load(ckpt_fn, map_location="cpu")
+    model.load_state_dict(ckpt["model"])
+    model.eval()
+    print(f"| loaded {ckpt_fn} (step {ckpt['step']})")
+    spec_fn, _mel_fn = _spec_fns(torch, hp)
+
+    from visinger_tpu.data.dataset import VISingerDataset
+
+    ds = VISingerDataset(cfg, split)
+    mel_params = STFTParams(cfg.fft_size, cfg.win_size, cfg.hop_size,
+                            cfg.sample_rate, float(cfg.fmin),
+                            float(cfg.fmax), cfg.num_mel_bins)
+    os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+    results = []
+    torch.manual_seed(0)
+    for raw in ds.batches(max_sentences=1, shuffle=False,
+                          pad_to_max_sentences=False):
+        raw = dict(raw)
+        raw.pop("item_weights", None)
+        sample = _np_batch_to_torch(torch, raw, spec_fn)
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            out = model(sample["text_tokens"], sample["note_pitch"],
+                        sample["note_dur"], mel2ph=sample["mel2ph"],
+                        spk_id=sample["spk_ids"], infer=True)
+        dt = time.perf_counter() - t0
+        t = int(raw["mel_lengths"][0])
+        wav = out["wav_out"][0, : t * cfg.hop_size].float().numpy()
+        gt = np.asarray(raw["wavs"][0][: t * cfg.hop_size], np.float32)
+        if gt.dtype == np.int16 or raw["wavs"].dtype == np.int16:
+            gt = gt / 32767.0
+        fn = f"item_{len(results):04d}_synth.wav"
+        save_wav(wav, os.path.join(out_dir, "wavs", fn), cfg.sample_rate,
+                 norm=True)
+        audio_s = t * cfg.hop_size / cfg.sample_rate
+        f0m = f0_metrics(gt, wav, cfg.sample_rate, cfg.hop_size,
+                         float(cfg.get("f0_min", 50)),
+                         float(cfg.get("f0_max", 1250)))
+        results.append({
+            "wav_fn_pred": fn, "audio_s": audio_s,
+            "rtf": dt / max(audio_s, 1e-9), "rtf_kind": "per_item_cpu",
+            "mcd": round(mcd(gt, wav, mel_params), 3),
+            "mel_l1": round(mel_l1_np(gt, wav, mel_params), 4),
+            "f0_rmse_cents": round(f0m["f0_rmse_cents"], 1),
+            "vuv_error": round(f0m["vuv_error"], 4),
+        })
+        print(f"| torch synth {fn}: mcd={results[-1]['mcd']} "
+              f"mel_l1={results[-1]['mel_l1']}")
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"| wrote {out_dir}/results.json ({len(results)} items)")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["step", "jax-step", "train"])
+    ap.add_argument("mode", choices=["step", "jax-step", "train", "synth"])
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--out", default="/tmp/torch_train_log.jsonl")
     ap.add_argument("--data_dir", default="data/binary/synth")
     ap.add_argument("--config", default="")
+    ap.add_argument("--save_ckpt", default="")
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--out_dir", default="/tmp/torch_synth")
+    ap.add_argument("--split", default="test")
     args = ap.parse_args()
     if args.mode == "step":
         mode_step(args.warmup, args.iters)
     elif args.mode == "jax-step":
         mode_jax_step(args.warmup, args.iters)
+    elif args.mode == "synth":
+        mode_synth(args.ckpt, args.out_dir, args.config or None, args.split)
     else:
-        mode_train(args.steps, args.out, args.data_dir, args.config or None)
+        mode_train(args.steps, args.out, args.data_dir, args.config or None,
+                   args.save_ckpt or None)

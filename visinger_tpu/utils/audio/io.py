@@ -46,15 +46,42 @@ def load_wav(path: str, pad_to_hop: int = 0) -> tuple[np.ndarray, int]:
 
 
 def save_wav(wav: np.ndarray, path: str, sample_rate: int, norm: bool = False):
-    """16-bit PCM save (utils/audio/io.py:8-15 semantics)."""
+    """16-bit PCM save; a ``.mp3`` path transcodes via ffmpeg and removes the
+    intermediate wav (reference utils/audio/io.py:8-23 semantics)."""
+    is_mp3 = path.endswith(".mp3")
+    wav_path = path[:-4] + ".wav" if is_mp3 else path
     wav = np.asarray(wav, dtype=np.float64)
     if norm:
         peak = np.abs(wav).max()
         if peak > 0:
             wav = wav / peak * 0.95
     pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2")
-    with wave.open(path, "wb") as f:
+    with wave.open(wav_path, "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(2)
         f.setframerate(sample_rate)
         f.writeframes(pcm.tobytes())
+    if is_mp3:
+        to_mp3(wav_path, remove_wav=True)
+
+
+def to_mp3(wav_path: str, bitrate: str = "192k", remove_wav: bool = False) -> str:
+    """Transcode a wav to mp3 with ffmpeg (reference to_mp3,
+    utils/audio/io.py:17-23 — argument list instead of its shell string).
+    Raises a clear error when no ffmpeg binary is on PATH."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "mp3 export needs an `ffmpeg` binary on PATH (none found); "
+            "write .wav instead or install ffmpeg")
+    out_path = wav_path[:-4] + ".mp3" if wav_path.endswith(".wav") else wav_path + ".mp3"
+    subprocess.check_call(
+        ["ffmpeg", "-threads", "1", "-loglevel", "error", "-i", wav_path,
+         "-vn", "-b:a", bitrate, "-y", "-hide_banner", "-async", "1",
+         out_path], stdin=subprocess.DEVNULL)
+    if remove_wav:
+        os.remove(wav_path)
+    return out_path
