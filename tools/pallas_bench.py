@@ -27,6 +27,11 @@ CASES = [
     ("flow_coupling", 4, 800, 192, 4, 256),
     ("flow_coupling_b1", 1, 800, 192, 4, 256),
 ]
+if os.environ.get("BENCH_B"):  # e.g. BENCH_B=16 BENCH_T=640: bench.py shapes
+    _b = int(os.environ["BENCH_B"])
+    _t = int(os.environ.get("BENCH_T", 640))
+    CASES = [(f"posterior_b{_b}", _b, _t, 192, 16, 256),
+             (f"flow_coupling_b{_b}", _b, _t, 192, 4, 256)]
 
 
 R1 = int(os.environ.get("BENCH_R1", 10))
