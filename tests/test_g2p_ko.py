@@ -147,6 +147,8 @@ NUMBER_GOLDEN = [
     ("102마리", "백이마리"),   # >2 digits fall back to sino (reference rule)
     ("3시", "세시"),
     ("5개월", "오개월"),       # 개(?!월): 개월 is NOT a native counter
+    ("3 개", "삼 개"),         # counter must be ADJACENT (reference
+                               # count_checker): spaced counts read sino
     # measurement units (unit_dict)
     ("5km", "오킬로미터"),
     ("100%", "백퍼센트"),

@@ -134,6 +134,38 @@ def test_discriminators_output_scores_and_fmaps():
         assert r.shape[0] == 2 and r.ndim == 2
 
 
+def test_disc_pair_batch_matches_separate():
+    """pair_batch=True (one concat([real, fake]) pass per sub-disc) must be
+    numerically identical to two separate batch-B passes — values AND
+    gradients (convs are batch-parallel; params are shared)."""
+    import jax
+
+    rng = np.random.RandomState(1)
+    real = jnp.asarray(rng.randn(2, 2400).astype(np.float32))
+    fake = jnp.asarray(rng.randn(2, 2400).astype(np.float32))
+    sep = MultiPeriodDiscriminator(periods=(2, 3), pair_batch=False)
+    par = MultiPeriodDiscriminator(periods=(2, 3), pair_batch=True)
+    p = sep.init(KEY, real, fake)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        par.init(KEY, real, fake))  # same param tree either way
+
+    def loss(params, m):
+        rs, gs, fr, fg = m.apply(params, real, fake)
+        return (sum(jnp.sum(r ** 2) for r in rs)
+                + sum(jnp.sum(g ** 2) for g in gs)
+                + sum(jnp.sum(a) for f in fr + fg for a in f))
+
+    (l0, g0) = jax.value_and_grad(loss)(p, sep)
+    (l1, g1) = jax.value_and_grad(loss)(p, par)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    # tolerance: same math, but XLA may pick a different conv reduction
+    # order at batch 2B vs B (fp reassociation ~1e-4 rel on grad sums)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_grouped_conv_stacked_matches_native():
     """Conv1d(grouped_impl='stack') == the native XLA grouped conv — values
     AND gradients — across the MSD's actual (k, stride, groups) specs."""

@@ -45,8 +45,11 @@ def test_wav_processors():
     assert abs(len(out) - len(wav) // 2) < 10
 
     out, _ = get_wav_processor_cls("loud_norm")().process(wav, sr, cfg)
-    rms_db = 10 * np.log10(np.mean(out ** 2) + 1e-12)
-    assert abs(rms_db - (-20.0)) < 3.0
+    # BS.1770 semantics: the GATED integrated loudness hits the target
+    # (silence is excluded by the gate, so whole-signal RMS sits lower)
+    from visinger_tpu.utils.audio.loudness import integrated_loudness
+
+    assert abs(integrated_loudness(out, sr) - (-20.0)) < 0.2
 
     out, _ = get_wav_processor_cls("trim_sil")().process(wav, sr, cfg)
     assert len(out) < len(wav)  # long silence shortened

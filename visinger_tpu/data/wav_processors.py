@@ -3,10 +3,14 @@
 Parity target: reference preprocessor/wave/{base_wave_processor,
 common_processor}.py + utils/audio/vad.py — a named registry of waveform
 transforms applied during preprocessing.  The reference shells out to sox
-and uses webrtcvad/pyloudnorm; here: polyphase resampling (scipy),
-RMS-window loudness normalization, and an energy-based VAD with mask
-dilation (webrtcvad is unavailable; energy VAD covers the
-trim-long-silences role on clean studio vocals).
+and uses webrtcvad/pyloudnorm; here: polyphase resampling (scipy), real
+BS.1770 loudness normalization (utils/audio/loudness.py — the pyloudnorm
+algorithm implemented from the public spec), and trim_long_silences with
+the reference's exact pipeline shape (10 ms VAD frames at 16 kHz,
+moving-average-8 smoothing, binary dilation by vad_max_silence_length+1,
+mask resized to raw rate, unvoiced samples dropped — vad.py:52-100) with
+one documented substitution: an adaptive energy VAD stands in for the
+webrtcvad GMM core (package absent from this image).
 """
 
 from __future__ import annotations
@@ -47,41 +51,75 @@ class ResampleProcessor(BaseWavProcessor):
 
 @register_wav_processor("loud_norm")
 class LoudNormProcessor(BaseWavProcessor):
-    """Normalize to a target RMS level in dBFS (default -20)."""
+    """BS.1770 integrated-loudness normalization to ``loud_norm_db`` LUFS
+    (default -20 — the reference's pyloudnorm target, vad.py:46-49), with
+    the reference's peak re-normalization if the gain clips."""
 
     def process(self, wav, sr, cfg):
-        target_db = float(cfg.get("loud_norm_db", -20.0))
-        rms = np.sqrt(np.mean(np.square(wav)) + 1e-12)
-        gain = 10 ** (target_db / 20) / max(rms, 1e-6)
-        return np.clip(wav * gain, -1.0, 1.0).astype(np.float32), sr
+        from visinger_tpu.utils.audio.loudness import (
+            integrated_loudness,
+            normalize_loudness,
+        )
+
+        target = float(cfg.get("loud_norm_db", -20.0))
+        loudness = integrated_loudness(wav, sr)
+        wav = normalize_loudness(wav, loudness, target)
+        peak = np.abs(wav).max()
+        if peak > 1.0:  # reference vad.py:48-49
+            wav = wav / peak
+        return wav.astype(np.float32), sr
+
+
+def _energy_vad_flags(wav16: np.ndarray, samples_per_window: int
+                      ) -> np.ndarray:
+    """Per-10ms-window voiced flags — the webrtcvad.Vad(mode=3) stand-in
+    (package absent): adaptive dual-threshold energy detector over the
+    same 10 ms windows the reference feeds webrtcvad (vad.py:53-75)."""
+    n = len(wav16) // samples_per_window
+    x = wav16[: n * samples_per_window].reshape(n, samples_per_window)
+    e_db = 10 * np.log10(np.mean(np.square(x), axis=1) + 1e-10)
+    floor = np.percentile(e_db, 10)
+    return e_db > floor + 10.0
 
 
 @register_wav_processor("trim_sil")
 class TrimSilenceProcessor(BaseWavProcessor):
-    """Energy VAD: drop silent stretches longer than
-    ``vad_max_silence_length`` frames (30 ms frames, dilated mask) — the
-    role of the reference's trim_long_silences (utils/audio/vad.py:17-93).
-    """
+    """The reference's trim_long_silences pipeline (utils/audio/vad.py:
+    17-100): loudness-norm (own processor here), resample to 16 kHz, VAD
+    over 10 ms windows, moving-average smoothing (width 8), round to bool,
+    binary-dilate by ``vad_max_silence_length + 1`` windows, resize the
+    mask back to the raw rate and DROP the unvoiced samples."""
 
     def process(self, wav, sr, cfg):
+        from visinger_tpu.data.preprocess import resample_wav
+
         max_sil = int(cfg.get("vad_max_silence_length", 12))
-        frame = int(0.03 * sr)
-        n = len(wav) // frame
-        x = wav[: n * frame].reshape(n, frame)
-        energy_db = 10 * np.log10(np.mean(np.square(x), axis=1) + 1e-10)
-        floor = np.percentile(energy_db, 10)
-        voiced = energy_db > floor + 10.0
-        # dilate so short pauses inside phrases are kept
-        kernel = np.ones(3, dtype=bool)
-        voiced = np.convolve(voiced, kernel, mode="same") > 0
-        keep = voiced.copy()
-        run = 0
-        for i in range(n):
-            if voiced[i]:
-                run = 0
-            else:
-                run += 1
-                keep[i] = run <= max_sil
-        mask = np.repeat(keep, frame)
-        out = np.concatenate([wav[: n * frame][mask], wav[n * frame:]])
+        vad_sr = 16000
+        spw = (10 * vad_sr) // 1000  # 10 ms windows (vad.py:54,63)
+        wav16 = resample_wav(wav, sr, vad_sr) if sr != vad_sr else wav
+        wav16 = wav16[: len(wav16) - (len(wav16) % spw)]
+        if len(wav16) < spw:
+            return wav.astype(np.float32), sr
+        flags = _energy_vad_flags(wav16, spw).astype(float)
+        # moving average width 8 (vad.py:57-85)
+        width = 8
+        padded = np.concatenate([np.zeros((width - 1) // 2), flags,
+                                 np.zeros(width // 2)])
+        csum = np.cumsum(padded)
+        avg = (csum[width - 1:] - np.concatenate([[0.0], csum[:-width]])) \
+            / width
+        mask = np.round(avg).astype(bool)
+        # binary dilation with a (max_sil+1)-wide structuring element
+        # (vad.py:89: binary_dilation(mask, ones(max_sil + 1)))
+        from scipy.ndimage import binary_dilation
+
+        mask = binary_dilation(mask, np.ones(max_sil + 1, bool))
+        # windows -> 16k samples -> resize to the raw-rate length (vad.py:90-91)
+        mask16 = np.repeat(mask, spw)
+        idx = np.minimum((np.arange(len(wav)) * len(mask16))
+                         // max(len(wav), 1), len(mask16) - 1)
+        keep = mask16[idx]
+        out = wav[keep]
+        if len(out) == 0:  # degenerate: keep the original
+            return wav.astype(np.float32), sr
         return out.astype(np.float32), sr

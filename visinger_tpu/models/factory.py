@@ -22,7 +22,8 @@ def build_models(cfg: Config, ph_vocab: int, pitch_vocab: int, dur_vocab: int):
         p_channels=tuple(cfg.get("disc_p_channels", (32, 128, 512, 1024))),
         dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
         use_spectral_norm=bool(cfg.get("use_spectral_norm", False)),
-        grouped_impl=str(cfg.get("grouped_conv_impl", "native")))
+        grouped_impl=str(cfg.get("grouped_conv_impl", "native")),
+        pair_batch=bool(cfg.get("disc_pair_batch", True)))
     return model, disc
 
 

@@ -105,6 +105,13 @@ class MultiPeriodDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_spectral_norm: bool = False
     grouped_impl: str = "native"  # see common.Conv1d.grouped_impl
+    # Run each sub-discriminator ONCE on concat([real, fake]) instead of
+    # twice on batch-B inputs: convs are batch-parallel (no batch coupling
+    # anywhere in the stacks), so the math is identical while the kernel
+    # count halves and every conv runs at 2B — better MXU occupancy at the
+    # reference's small batches.  Exactness-tested vs pair=False
+    # (tests/test_modules.py); config key disc_pair_batch.
+    pair_batch: bool = True
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
@@ -120,6 +127,16 @@ class MultiPeriodDiscriminator(nn.Module):
             for p in self.periods
         ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        if self.pair_batch:
+            b = y.shape[0]
+            pair = jnp.concatenate([y, y_hat], 0)
+            for d in discs:
+                s, f = d(pair)
+                y_d_rs.append(s[:b])
+                y_d_gs.append(s[b:])
+                fmap_rs.append([a[:b] for a in f])
+                fmap_gs.append([a[b:] for a in f])
+            return y_d_rs, y_d_gs, fmap_rs, fmap_gs
         for d in discs:
             sr, fr = d(y)
             sg, fg = d(y_hat)

@@ -135,6 +135,22 @@ def make_train_step(cfg, model, disc, steps_per_epoch: int | None = None
         real_scores, fake_scores, _, _ = disc.apply({"params": params_d}, real, fake)
         return L.discriminator_loss(real_scores, fake_scores, w)
 
+    # Rematerialization knob (XLA cost analysis says the step is
+    # bandwidth-bound — artifacts/bench_r3/README.md): trade backward-pass
+    # activation reads for recompute.
+    #   none  (default) — XLA's own fusion/remat decisions
+    #   full  — save nothing across fwd/bwd (recompute the whole forward)
+    #   dots  — save matmul outputs, recompute everything elementwise/conv
+    # A/B'd on the real chip via tools/ab_remat.py before changing defaults.
+    remat = str(cfg.get("remat_policy", "none"))
+    if remat != "none":
+        policy = {
+            "full": jax.checkpoint_policies.nothing_saveable,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+        }[remat]
+        gen_loss_fn = jax.checkpoint(gen_loss_fn, policy=policy)
+        disc_loss_fn = jax.checkpoint(disc_loss_fn, policy=policy)
+
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         rng, k_sample, k_drop = jax.random.split(state.rng, 3)
         rngs = {"sample": k_sample, "dropout": k_drop}

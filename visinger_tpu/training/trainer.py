@@ -282,6 +282,11 @@ class Trainer:
         meters = jax.device_put(zero_meters())
         meters_n = 0
         step = start_step
+        # max_updates / val_check_interval / tb_log_interval count OPTIMIZER
+        # steps (the reference's global_step advances once per optimizer step,
+        # trainer.py:339,368); `step` counts micro-batches, so every schedule
+        # below compares step // accum.  accum == 1 reduces to step itself.
+        accum = max(int(cfg.get("accumulate_grad_batches", 1)), 1)
         epoch = 0
         t_start = time.time()
         # jax.profiler trace window (SURVEY §5.1 rebuild note): set
@@ -290,7 +295,7 @@ class Trainer:
         profile_start = int(cfg.get("profile_start_step", 10))
         from visinger_tpu.data.prefetch import prefetch
 
-        while step < max_updates:
+        while step < max_updates * accum:
             if use_store:
                 # per-step host work: one [B] int32 index transfer + dispatch
                 epoch_iter = (
@@ -317,32 +322,35 @@ class Trainer:
                     state, meters = step_fn(state, meters, item)
                 step += 1
                 meters_n += 1
+                opt_step, opt_boundary = step // accum, step % accum == 0
                 if profile_dir and step == profile_start + 5:
                     jax.block_until_ready(state)
                     jax.profiler.stop_trace()
-                if step % cfg.tb_log_interval == 0 and self.logger:
+                if (opt_boundary and opt_step % cfg.tb_log_interval == 0
+                        and self.logger):
                     fetched = jax.device_get(meters)  # single transfer
                     avg = {k: float(v) / meters_n for k, v in fetched.items()}
                     avg["steps_per_s"] = cfg.tb_log_interval / max(
                         time.time() - t_start, 1e-9)
                     t_start = time.time()
-                    self.logger.log(step, avg)
-                    print(f"| step {step}: " + ", ".join(
+                    self.logger.log(opt_step, avg)
+                    print(f"| step {opt_step}: " + ", ".join(
                         f"{k}={v:.3f}" for k, v in sorted(avg.items())))
                     meters = jax.device_put(zero_meters())
                     meters_n = 0
-                if step % cfg.val_check_interval == 0:
+                if opt_boundary and opt_step % cfg.val_check_interval == 0:
                     val_loss = eval_loss(state, cfg.eval_max_batches)
                     if self.logger:
-                        self.logger.log(step, {"val_loss": val_loss}, "val")
+                        self.logger.log(opt_step, {"val_loss": val_loss},
+                                        "val")
                     save_checkpoint(self.work_dir, state,
                                     num_keep=cfg.num_ckpt_keep,
                                     val_loss=val_loss)
                     if (cfg.get("render_valid", False)
-                            and step % cfg.valid_infer_interval == 0
+                            and opt_step % cfg.valid_infer_interval == 0
                             and jax.process_index() == 0):
-                        self.render_valid(state, valid_ds, step)
-                if step >= max_updates:
+                        self.render_valid(state, valid_ds, opt_step)
+                if step >= max_updates * accum:
                     break
             epoch += 1
         save_checkpoint(self.work_dir, state, num_keep=cfg.num_ckpt_keep)
@@ -392,11 +400,16 @@ class Trainer:
             wavs = np.asarray(wavs)
             f0_pred = None if f0_pred is None else np.asarray(f0_pred)
             mels = np.asarray(log_mel_spectrogram(jnp.asarray(wavs), mel_params))
-            gt_wavs = np.asarray(batch["wavs"], np.float32)
-            if batch["wavs"].dtype == np.int16:
-                gt_wavs = gt_wavs / 32767.0
-            gt_mels = np.asarray(log_mel_spectrogram(
-                jnp.asarray(gt_wavs), mel_params))
+            gt_wavs = gt_mels = None
+            if self.logger is not None:
+                # GT audio/mels feed only the TB media path — computing
+                # gt_mels is a second log_mel program (a fresh minutes-long
+                # compile through the TPU tunnel), so skip it without TB
+                gt_wavs = np.asarray(batch["wavs"], np.float32)
+                if batch["wavs"].dtype == np.int16:
+                    gt_wavs = gt_wavs / 32767.0
+                gt_mels = np.asarray(log_mel_spectrogram(
+                    jnp.asarray(gt_wavs), mel_params))
             for i in range(wavs.shape[0]):
                 if done >= n_items:
                     return

@@ -125,7 +125,9 @@ _NATIVE_TENS = {1: "열", 2: "스물", 3: "서른", 4: "마흔", 5: "쉰",
                 6: "예순", 7: "일흔", 8: "여든", 9: "아흔"}
 
 _NUM_PAT = r"([+-]?\d{1,3}(?:,\d{3})+(?!\d)|[+-]?\d+)(\.\d+)?"
-_COUNT_RE = re.compile(_NUM_PAT + r"\s?(" + _COUNT_UNITS + r")")
+# no whitespace between number and counter — the reference's count_checker
+# requires adjacency (ko_sing.py count patterns), so "3 개" reads sino
+_COUNT_RE = re.compile(_NUM_PAT + r"(" + _COUNT_UNITS + r")")
 _PLAIN_NUM_RE = re.compile(_NUM_PAT)
 
 
