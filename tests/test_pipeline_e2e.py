@@ -120,6 +120,22 @@ def test_trainer_test_loop_quality_metrics(corpus, tmp_path):
         assert len(_json.load(f)) == len(results)
 
 
+def test_trainer_loop_counts_optimizer_steps_under_accum(corpus, tmp_path):
+    """Trainer.fit(max_updates=N) with accumulate_grad_batches=k performs
+    N OPTIMIZER steps = N*k micro-batches (the reference's global_step
+    advances per optimizer step, trainer.py:339,368) — not N micro-batches."""
+    from visinger_tpu.training.trainer import Trainer
+
+    cfg, binary = corpus
+    cfg = cfg.replace(work_dir=str(tmp_path / "exp"), max_sentences=2,
+                      accumulate_grad_batches=2, tb_log_interval=1,
+                      val_check_interval=100, num_sanity_val_steps=0,
+                      save_codes=False)
+    tr = Trainer(cfg)
+    state = tr.fit(max_updates=2)
+    assert int(state.step) == 4  # 2 optimizer steps x accum 2 micro-batches
+
+
 def test_tb_media_logged_at_render(corpus, tmp_path):
     """render_valid pushes audio (pred + GT-once) and the pred|GT mel figure
     into TensorBoard (reference save_valid_result/plot_mel,

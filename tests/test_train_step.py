@@ -45,6 +45,27 @@ def test_losses_finite_and_params_update(setup):
     assert max_delta(new_state.params_d, state.params_d) > 0
 
 
+def test_remat_policies_match_no_remat(setup):
+    """remat_policy full/dots recompute the forward instead of saving
+    activations — same math, so one step must land on (numerically) the
+    same params and losses as remat_policy none."""
+    cfg, batch, model, disc, state, step_fn = setup
+    base, m0 = step_fn(state, batch)
+    for policy in ("full", "dots"):
+        fn = jax.jit(make_train_step(cfg.replace(remat_policy=policy),
+                                     model, disc))
+        out, m = fn(state, batch)
+        np.testing.assert_allclose(float(m["total_g"]), float(m0["total_g"]),
+                                   rtol=1e-5)
+        # param atol ~2x the AdamW lr (2e-4): recompute reassociates fp
+        # reductions, and Adam's m/sqrt(v) normalization lets a near-zero
+        # grad's rounding noise swing that param's whole update
+        for a, b in zip(jax.tree.leaves(base.params_g),
+                        jax.tree.leaves(out.params_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+
 def test_two_steps_progress(setup):
     cfg, batch, model, disc, state, step_fn = setup
     s1, m1 = step_fn(state, batch)

@@ -265,7 +265,11 @@ def main():
     from visinger_tpu.utils.text.token_encoder import build_token_encoder
 
     cfg = load_config(args.config)
-    cfg = cfg.replace(p_dropout=0.0, logs_clamp=0.0)
+    # disc_pair_batch off: the concat([real,fake]) disc lowering is the same
+    # math but XLA may reassociate conv reductions at 2B vs B (~1e-4 rel) —
+    # the torch reference runs separate passes, and lockstep's point is
+    # bitwise-grade comparison, so match its execution shape exactly.
+    cfg = cfg.replace(p_dropout=0.0, logs_clamp=0.0, disc_pair_batch=False)
     data_dir = cfg.binary_data_dir
     enc = build_token_encoder(f"{data_dir}/phone_set.json")
     with open(f"{data_dir}/pitch_map.json") as f:
