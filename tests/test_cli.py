@@ -56,6 +56,33 @@ def test_cli_exp_name_persists_config(tmp_path, monkeypatch):
     main(["synth-data", "--exp_name", "exp1", "--n_items", "3"])
 
 
+def test_cli_remove_and_debug_flags(tmp_path, monkeypatch):
+    """--remove deletes the work dir after interactive confirm (reference
+    hparams.py:110-113); --debug lands in the persisted config
+    (hparams.py:120)."""
+    monkeypatch.chdir(tmp_path)
+    processed = tmp_path / "p"
+    binary = tmp_path / "b"
+    cfg_fn = _write_tiny_cfg(tmp_path, processed, binary)
+    main(["synth-data", "--config", cfg_fn, "--exp_name", "exp_rm",
+          "--n_items", "3", "--debug"])
+    work = tmp_path / "checkpoints" / "exp_rm"
+    with open(work / "config.yaml") as f:
+        assert yaml.safe_load(f)["debug"] is True
+    # N answer: work dir kept
+    monkeypatch.setattr("builtins.input", lambda _="": "n")
+    main(["synth-data", "--config", cfg_fn, "--exp_name", "exp_rm",
+          "--n_items", "3", "--remove"])
+    assert work.exists()
+    # Y answer: removed, then recreated fresh by the run
+    monkeypatch.setattr("builtins.input", lambda _="": "Y")
+    (work / "marker.txt").write_text("x")
+    main(["synth-data", "--config", cfg_fn, "--exp_name", "exp_rm",
+          "--n_items", "3", "--remove"])
+    assert not (work / "marker.txt").exists()
+    assert (work / "config.yaml").exists()
+
+
 def test_readonly_commands_do_not_rewrite_persisted_config(tmp_path,
                                                            monkeypatch):
     """infer/test/validate take one-off --hparams without mutating the

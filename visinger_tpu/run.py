@@ -37,9 +37,24 @@ from visinger_tpu.config import Config, load_config, parse_overrides
 
 def _resolve_config(args, persist: bool = True) -> Config:
     overrides = parse_overrides(args.hparams or "")
+    if getattr(args, "debug", False):
+        # reference --debug (hparams.py:39,120): carried in the config; its
+        # only runtime effect there is unmuting non-rank-0 stdout
+        # (trainer.py:130) — this framework never mutes processes, so the
+        # flag is informational + available to configs/tools.
+        overrides["debug"] = True
     work_dir = None
     if args.exp_name:
         work_dir = os.path.join("checkpoints", args.exp_name)
+        if getattr(args, "remove", False) and os.path.exists(work_dir):
+            # reference --remove (hparams.py:110-113): interactive confirm,
+            # then delete the experiment's work dir
+            answer = input("REMOVE old checkpoint? Y/N [Default: N]: ")
+            if answer.strip().lower() == "y":
+                import shutil
+
+                shutil.rmtree(work_dir)
+                print(f"| removed {work_dir}")
         saved = os.path.join(work_dir, "config.yaml")
         if os.path.exists(saved) and not args.reset:
             cfg = load_config(saved, overrides=overrides)
@@ -294,6 +309,10 @@ def main(argv=None):
         sp.add_argument("--exp_name", default="")
         sp.add_argument("-hp", "--hparams", default="")
         sp.add_argument("--reset", action="store_true")
+        sp.add_argument("--remove", action="store_true",
+                        help="delete the experiment work dir (interactive "
+                             "confirm) before proceeding")
+        sp.add_argument("--debug", action="store_true")
         if name == "infer":
             sp.add_argument("--midi", default="")
             sp.add_argument("--midi_dir", default="",
