@@ -82,7 +82,10 @@ def _load_bench_cfg():
     # a 2500-step GAN run reaching fp32-equal endpoint quality
     # (artifacts/parity/bf16_run_2500.md) and 1.161x faster at the bench
     # shape.  BENCH_DTYPE=float32 reproduces the round-3 fp32 numbers.
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # Precedence: explicit BENCH_DTYPE > a user-supplied BENCH_CONFIG's own
+    # compute_dtype > the bf16 default (an explicit config must not be
+    # silently overridden).
+    dtype = os.environ.get("BENCH_DTYPE") or (None if path else "bfloat16")
     if dtype:
         cfg = cfg.replace(compute_dtype=dtype)
     if os.environ.get("BENCH_PALLAS"):

@@ -60,15 +60,15 @@ def main():
     for name in names:
         print(f"== {name} ==", flush=True)
         t0 = time.time()
-        ms, metrics = time_step(cfg0.replace(**VARIANTS[name]), batch)
+        step_s, metrics = time_step(cfg0.replace(**VARIANTS[name]), batch)
         rec = {"variant": name, "B": batch_size, "T": n_frames,
-               "ms_per_step": round(ms, 2),
-               "mel_frames_per_s": round(batch_size * n_frames / ms * 1e3, 1),
+               "ms_per_step": round(step_s * 1e3, 2),
+               "mel_frames_per_s": round(batch_size * n_frames / step_s, 1),
                "total_g": round(float(metrics["total_g"]), 3),
                "compile_s": round(time.time() - t0, 1)}
         if base_ms is None:
-            base_ms = ms
-        rec["speedup_vs_first"] = round(base_ms / ms, 3)
+            base_ms = step_s
+        rec["speedup_vs_first"] = round(base_ms / step_s, 3)
         print("  " + json.dumps(rec), flush=True)
         with open(out_fn, "a") as f:
             f.write(json.dumps(rec) + "\n")

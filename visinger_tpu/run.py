@@ -48,8 +48,13 @@ def _resolve_config(args, persist: bool = True) -> Config:
         work_dir = os.path.join("checkpoints", args.exp_name)
         if getattr(args, "remove", False) and os.path.exists(work_dir):
             # reference --remove (hparams.py:110-113): interactive confirm,
-            # then delete the experiment's work dir
-            answer = input("REMOVE old checkpoint? Y/N [Default: N]: ")
+            # then delete the experiment's work dir.  Non-interactive runs
+            # (EOF on stdin) take the advertised N default instead of
+            # crashing.
+            try:
+                answer = input("REMOVE old checkpoint? Y/N [Default: N]: ")
+            except EOFError:
+                answer = "n"
             if answer.strip().lower() == "y":
                 import shutil
 

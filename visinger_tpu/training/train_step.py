@@ -141,7 +141,7 @@ def make_train_step(cfg, model, disc, steps_per_epoch: int | None = None
     #   none  (default) — XLA's own fusion/remat decisions
     #   full  — save nothing across fwd/bwd (recompute the whole forward)
     #   dots  — save matmul outputs, recompute everything elementwise/conv
-    # A/B'd on the real chip via tools/ab_remat.py before changing defaults.
+    # A/B'd on the real chip via tools/ab_r4.py before changing defaults.
     remat = str(cfg.get("remat_policy", "none"))
     if remat != "none":
         policy = {

@@ -401,10 +401,13 @@ class Trainer:
             f0_pred = None if f0_pred is None else np.asarray(f0_pred)
             mels = np.asarray(log_mel_spectrogram(jnp.asarray(wavs), mel_params))
             gt_wavs = gt_mels = None
-            if self.logger is not None:
-                # GT audio/mels feed only the TB media path — computing
-                # gt_mels is a second log_mel program (a fresh minutes-long
-                # compile through the TPU tunnel), so skip it without TB
+            # GT audio/mels feed only the TB media path — computing gt_mels
+            # is a second log_mel program (a fresh minutes-long compile
+            # through the TPU tunnel), so skip it unless TensorBoard is
+            # actually attached (logger._tb: the logger object itself always
+            # exists on process 0 even when torch/TB is unavailable)
+            tb_on = self.logger is not None and self.logger._tb is not None
+            if tb_on:
                 gt_wavs = np.asarray(batch["wavs"], np.float32)
                 if batch["wavs"].dtype == np.int16:
                     gt_wavs = gt_wavs / 32767.0
@@ -438,7 +441,7 @@ class Trainer:
                 # tasks/visinger.py:175-185): predicted audio each render,
                 # GT audio once in the first render window, and a
                 # pred-|-GT side-by-side mel figure with overlays.
-                if self.logger is not None:
+                if tb_on:
                     sr = int(cfg.sample_rate)
                     peak = max(float(np.max(np.abs(wav))), 1e-6)
                     self.logger.add_audio(f"wav_val_{done}", wav / peak,
