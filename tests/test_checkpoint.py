@@ -1,13 +1,15 @@
-"""Checkpoint save/restore/rotate/best + warm-start tests."""
+"""Checkpoint save/restore/rotate/best + warm-start + async-writer tests."""
 
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visinger_tpu.models.factory import build_models, init_state, tiny_batch, tiny_config
 from visinger_tpu.training.checkpoint import (
+    AsyncCheckpointer,
     latest_checkpoint,
     restore_latest,
     save_checkpoint,
@@ -41,6 +43,66 @@ def test_save_restore_rotate_best(tmp_path):
     a = jax.tree.leaves(restored.params_g)[0]
     b = jax.tree.leaves(state.params_g)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointer_matches_sync(tmp_path):
+    """The background writer produces byte-identical checkpoints and the
+    same best-tracking as the synchronous path."""
+    cfg = tiny_config()
+    state = _mk_state(cfg).replace(step=jnp.asarray(5, jnp.int32))
+    sync_dir = str(tmp_path / "sync")
+    async_dir = str(tmp_path / "async")
+    save_checkpoint(sync_dir, state, num_keep=2, val_loss=1.0)
+    ac = AsyncCheckpointer()
+    ac.save(async_dir, state, num_keep=2, val_loss=1.0)
+    ac.wait()
+    with open(os.path.join(sync_dir, "model_ckpt_steps_5.msgpack"), "rb") as f:
+        a = f.read()
+    with open(os.path.join(async_dir, "model_ckpt_steps_5.msgpack"), "rb") as f:
+        b = f.read()
+    assert a == b
+    assert os.path.exists(os.path.join(async_dir, "best.json"))
+    assert os.path.exists(os.path.join(async_dir, "model_ckpt_best.msgpack"))
+
+
+def test_async_checkpointer_serializes_and_rotates(tmp_path):
+    """Back-to-back saves queue one behind the other (at most one in
+    flight) and rotation/best behave exactly like the sync path."""
+    cfg = tiny_config()
+    state = _mk_state(cfg)
+    wd = str(tmp_path)
+    ac = AsyncCheckpointer()
+    for step, vl in [(1, 5.0), (2, 3.0), (3, 4.0)]:
+        ac.save(wd, state.replace(step=jnp.asarray(step, jnp.int32)),
+                num_keep=2, val_loss=vl)
+    ac.wait()
+    ckpts = sorted(os.listdir(wd))
+    assert "model_ckpt_steps_3.msgpack" in ckpts
+    assert "model_ckpt_steps_2.msgpack" in ckpts
+    assert "model_ckpt_steps_1.msgpack" not in ckpts
+    template = _mk_state(cfg, seed=1)
+    restored, step = restore_latest(wd, template)
+    assert step == 3
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params_g)[0]),
+        np.asarray(jax.tree.leaves(state.params_g)[0]))
+
+
+def test_async_checkpointer_error_propagates(tmp_path):
+    """A writer-thread failure re-raises on wait() instead of disappearing,
+    and the checkpointer stays usable afterwards."""
+    cfg = tiny_config()
+    state = _mk_state(cfg)
+    blocker = tmp_path / "blocked"
+    blocker.write_text("a file where a directory is needed")
+    ac = AsyncCheckpointer()
+    ac.save(str(blocker / "sub"), state)  # makedirs fails in the thread
+    with pytest.raises(OSError):
+        ac.wait()
+    ok = str(tmp_path / "ok")
+    ac.save(ok, state)
+    ac.wait()
+    assert latest_checkpoint(ok) is not None
 
 
 def test_warm_start_shape_tolerant(tmp_path):

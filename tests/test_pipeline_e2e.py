@@ -136,6 +136,29 @@ def test_trainer_loop_counts_optimizer_steps_under_accum(corpus, tmp_path):
     assert int(state.step) == 4  # 2 optimizer steps x accum 2 micro-batches
 
 
+def test_trainer_async_checkpointing(corpus, tmp_path):
+    """With async_checkpoint: true the fit loop writes checkpoints from the
+    background thread (donation-safe device-side snapshot); the files are
+    restorable and the final save is durable before fit() returns."""
+    from visinger_tpu.training.checkpoint import latest_checkpoint, restore_latest
+    from visinger_tpu.training.trainer import Trainer
+
+    cfg, binary = corpus
+    cfg = cfg.replace(work_dir=str(tmp_path / "exp"), max_sentences=2,
+                      async_checkpoint=True, tb_log_interval=1,
+                      val_check_interval=1, num_sanity_val_steps=0,
+                      save_codes=False)
+    tr = Trainer(cfg)
+    state = tr.fit(max_updates=2)
+    path = latest_checkpoint(str(tmp_path / "exp"))
+    assert path is not None and path.endswith("steps_2.msgpack")
+    restored, step = restore_latest(str(tmp_path / "exp"), state)
+    assert step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params_g)[0]),
+        np.asarray(jax.tree.leaves(state.params_g)[0]))
+
+
 def test_tb_media_logged_at_render(corpus, tmp_path):
     """render_valid pushes audio (pred + GT-once) and the pred|GT mel figure
     into TensorBoard (reference save_valid_result/plot_mel,

@@ -17,9 +17,11 @@ import glob
 import json
 import os
 import re
+import threading
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -61,6 +63,63 @@ def save_checkpoint(work_dir: str, state: Any, num_keep: int = 100,
             with open(os.path.join(work_dir, "model_ckpt_best.msgpack"), "wb") as f:
                 f.write(blob)
     return path
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer (`async_checkpoint: true`).
+
+    The reference saves synchronously inside the train loop
+    (utils/commons/trainer.py:453-477), stalling every rank-0 step-loop
+    iteration that lands on a save for the full device→host transfer +
+    serialization.  Here the step loop only dispatches a device-side copy
+    of the state; the transfer, msgpack encode, atomic write, rotation and
+    best-tracking all happen on a writer thread.
+
+    Why the copy: the trainer's jitted step donates its input state
+    (trainer.py `donate_argnums=(0, 1)`), so a background `device_get` of
+    the live buffers would race with XLA reusing them on the next step.  A
+    jitted `tree.map(copy)` yields fresh buffers nothing ever donates; the
+    snapshot is consistent because jax.Arrays are immutable.
+
+    One save in flight at a time — a second ``save()`` joins the first, so
+    a slow write can delay the loop by at most one checkpoint interval.
+    Writer-thread errors re-raise on the next ``save()``/``wait()`` rather
+    than being swallowed.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._exc: BaseException | None = None
+        self._copy_fn = None
+
+    def save(self, work_dir: str, state: Any, num_keep: int = 100,
+             val_loss: float | None = None) -> None:
+        if jax.process_index() != 0:
+            return
+        self.wait()
+        if self._copy_fn is None:
+            self._copy_fn = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s))
+        snap = self._copy_fn(state)
+
+        def run():
+            try:
+                save_checkpoint(work_dir, snap, num_keep, val_loss)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, name="ckpt-writer",
+                                        daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Join any in-flight write; re-raise its error if it failed."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def _ckpt_step(path: str) -> int:

@@ -151,6 +151,21 @@ class Trainer:
             len(batch_by_size(lengths, cfg.max_tokens, cfg.max_sentences)), 1)
         train_step = make_train_step(cfg, self.model, self.disc,
                                      steps_per_epoch=steps_per_epoch)
+        # async_checkpoint: true moves the device->host transfer + msgpack
+        # write off the step loop (training/checkpoint.py:AsyncCheckpointer)
+        ckpt_async = None
+        if cfg.get("async_checkpoint", False):
+            from visinger_tpu.training.checkpoint import AsyncCheckpointer
+
+            ckpt_async = AsyncCheckpointer()
+
+        def save_ckpt(state, val_loss=None):
+            if ckpt_async is not None:
+                ckpt_async.save(self.work_dir, state,
+                                num_keep=cfg.num_ckpt_keep, val_loss=val_loss)
+            else:
+                save_checkpoint(self.work_dir, state,
+                                num_keep=cfg.num_ckpt_keep, val_loss=val_loss)
 
         # One dispatch per step: metric-meter accumulation happens INSIDE the
         # jitted program (every separately dispatched op costs a full relay
@@ -343,9 +358,7 @@ class Trainer:
                     if self.logger:
                         self.logger.log(opt_step, {"val_loss": val_loss},
                                         "val")
-                    save_checkpoint(self.work_dir, state,
-                                    num_keep=cfg.num_ckpt_keep,
-                                    val_loss=val_loss)
+                    save_ckpt(state, val_loss=val_loss)
                     if (cfg.get("render_valid", False)
                             and opt_step % cfg.valid_infer_interval == 0
                             and jax.process_index() == 0):
@@ -353,7 +366,9 @@ class Trainer:
                 if step >= max_updates * accum:
                     break
             epoch += 1
-        save_checkpoint(self.work_dir, state, num_keep=cfg.num_ckpt_keep)
+        save_ckpt(state)
+        if ckpt_async is not None:
+            ckpt_async.wait()  # final write durable before fit() returns
         return state
 
     # ------------------------------------------------------------------
