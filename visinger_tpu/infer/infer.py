@@ -65,6 +65,16 @@ class VISingerInfer:
                 self._infer_fn = lambda params, batch, rng: sp_fn(
                     params, batch["text_tokens"], batch["note_pitch"],
                     batch["note_dur"], batch["mel2ph"], batch["spk_ids"], rng)
+        elif cfg.get("stream_infer", False):
+            # streaming decode: the frame-rate prior runs on the bucketed
+            # program; flow reverse + HiFi-GAN run on fixed-shape halo
+            # chunks — ONE compiled decode program for every score length
+            # (infer/streaming.py)
+            from visinger_tpu.infer.streaming import StreamingSynthesizer
+
+            self._streamer = StreamingSynthesizer(cfg, self.model)
+            self._infer_fn = (lambda params, batch, rng:
+                              self._streamer.synthesize(params, batch, rng))
         else:
             self._infer_fn = jax.jit(self._infer, static_argnames=())
 

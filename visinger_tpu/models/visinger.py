@@ -195,8 +195,53 @@ class VISinger(nn.Module):
         else:
             eps = jax.random.normal(self.make_rng("sample"), mu_p.shape, mu_p.dtype)
             z_p = (mu_p + eps * jnp.exp(logs_p)) * tgt_nonpadding
-            z_q = self.flow(z_p, tgt_nonpadding, g=spk_emb, reverse=True,
-                            deterministic=deterministic).astype(jnp.float32) \
-                * tgt_nonpadding
-            ret["wav_out"] = self.decoder(z_q * tgt_nonpadding, g=spk_emb)
+            ret["wav_out"] = self.decode_frames(
+                z_p, tgt_nonpadding, spk_embed=spk_embed, spk_id=spk_id,
+                deterministic=deterministic)
         return ret
+
+    # ------------------------------------------------------------------
+    # Split infer path for streaming synthesis (infer/streaming.py): the
+    # global-attention stage runs full-length once; the purely-convolutional
+    # tail (finite receptive field) can then be decoded on halo-padded
+    # fixed-shape chunks — one compiled chunk program for any score length.
+    def infer_prior(self, text_tokens, pitch_tokens, dur_tokens, mel2ph,
+                    spk_embed=None, spk_id=None, deterministic: bool = True):
+        """Score -> sampled prior latent (everything that needs global
+        attention: text encoder, pitch predictor, frame prior).  Returns
+        (z_p [B,T,H], tgt_nonpadding [B,T,1]).  Mirrors the infer branch of
+        __call__ up to the z_p sample — same single draw from the 'sample'
+        stream, so `decode_frames(*infer_prior(...))` reproduces
+        `__call__(infer=True)` exactly."""
+        cfg = self.cfg
+        tgt_nonpadding = (mel2ph > 0).astype(jnp.float32)[..., None]
+        prior_inp = self.text_encoder(
+            text_tokens, pitch_tokens, dur_tokens, mel2ph,
+            deterministic=deterministic) * tgt_nonpadding
+        if cfg.use_pos_embed:
+            prior_inp = prior_inp + positional_embedding(
+                tgt_nonpadding[..., 0], cfg.hidden_size)
+        spk_emb = self.speaker_embedding(spk_embed, spk_id)
+        cond_pitch = None
+        if cfg.use_pitch_embed:
+            cond_pitch, _ = self.forward_pitch(
+                prior_inp, None, None, spk_emb, tgt_nonpadding, deterministic)
+        mu_p, logs_p = self.frame_prior(
+            prior_inp, tgt_nonpadding, g=cond_pitch,
+            deterministic=deterministic)
+        eps = jax.random.normal(self.make_rng("sample"), mu_p.shape,
+                                mu_p.dtype)
+        z_p = (mu_p + eps * jnp.exp(logs_p)) * tgt_nonpadding
+        return z_p, tgt_nonpadding
+
+    def decode_frames(self, z_p, tgt_nonpadding, spk_embed=None, spk_id=None,
+                      deterministic: bool = True):
+        """Local tail of the infer path: flow reverse + HiFi-GAN decode ->
+        waveform [B, T*hop].  Pure convs with a finite receptive field
+        (`infer.streaming.halo_frames`), so running it on halo-padded chunks
+        is sample-exact."""
+        spk_emb = self.speaker_embedding(spk_embed, spk_id)
+        z_q = self.flow(z_p, tgt_nonpadding, g=spk_emb, reverse=True,
+                        deterministic=deterministic).astype(jnp.float32) \
+            * tgt_nonpadding
+        return self.decoder(z_q * tgt_nonpadding, g=spk_emb)
