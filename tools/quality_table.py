@@ -1,15 +1,17 @@
-"""Assemble the quality-parity table (VERDICT r2 #3 / BASELINE.md quality bar).
+"""Assemble the quality-parity table (VERDICT r2 item 3): ours vs the
+torch reference, each synthesizing the same test split at the same
+training step count, each scored against ground truth with the same
+objective metrics (utils/audio/quality.py — MCD, mel-L1, f0-RMSE cents,
+V/UV error).
 
-Both frameworks train on the SAME binarized corpus to the SAME step count
-(tools/torch_baseline.py train / visinger_tpu.run train with
-configs/parity_run.yaml), synthesize the test split, and record the same
-objective metrics vs ground truth (utils/audio/quality.py: MCD, mel-L1,
-f0-RMSE in cents, V/UV error).  This script merges the two results.json
-files into artifacts/parity/quality_table.md.
+Inputs are the two results.json files written by
+  - ours:  `python -m visinger_tpu.run test --config <run>/config.yaml`
+           -> <run>/generated_<step>/results.json
+  - torch: `python tools/torch_baseline.py synth --ckpt <pt> --out_dir d`
+           -> d/results.json
 
-  python tools/quality_table.py --ours <dir>/results.json \
-      --torch <dir>/results.json --steps 1500 \
-      --out artifacts/parity/quality_table.md
+    python tools/quality_table.py --ours A/results.json --torch B/results.json \
+        --steps 1500 --out artifacts/parity/quality_table.md
 """
 
 from __future__ import annotations
@@ -17,65 +19,74 @@ from __future__ import annotations
 import argparse
 import json
 
-import numpy as np
-
-METRICS = [("mcd", "MCD (dB)"), ("mel_l1", "mel-L1"),
-           ("f0_rmse_cents", "f0-RMSE (cents)"), ("vuv_error", "V/UV err"),
-           ("rtf", "RTF")]
+METRICS = ["mcd", "mel_l1", "f0_rmse_cents", "vuv_error"]
 
 
-def _stats(results: list[dict]) -> dict:
-    out = {}
-    for key, _label in METRICS:
-        vals = np.asarray([r[key] for r in results], float)
-        vals = vals[np.isfinite(vals)]
-        out[key] = (float(np.mean(vals)), float(np.std(vals)))
-    return out
+def _load(fn):
+    with open(fn) as f:
+        return json.load(f)
+
+
+def _mean(rows, key):
+    return sum(r[key] for r in rows) / max(len(rows), 1)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ours", required=True)
     ap.add_argument("--torch", dest="torch_fn", required=True)
-    ap.add_argument("--steps", type=int, required=True)
-    ap.add_argument("--corpus", default="synthetic 28-song corpus "
-                    "(configs/parity_run.yaml)")
-    ap.add_argument("--notes", default="")
+    ap.add_argument("--steps", required=True)
     ap.add_argument("--out", default="artifacts/parity/quality_table.md")
+    ap.add_argument("--note", default="")
     args = ap.parse_args()
 
-    with open(args.ours) as f:
-        ours = json.load(f)
-    with open(args.torch_fn) as f:
-        ref = json.load(f)
-    so, sr = _stats(ours), _stats(ref)
-
+    ours, torch_r = _load(args.ours), _load(args.torch_fn)
     lines = [
-        "# Quality parity — synthesis vs ground truth at equal training steps",
+        "# Quality parity: ours (JAX/TPU) vs the torch reference",
         "",
-        f"Corpus: {args.corpus}; both frameworks trained to "
-        f"**{args.steps} steps** on identical binarized batches, then "
-        "synthesized the test split (batch 1, infer branch: prior sample -> "
-        "flow reverse -> full decode).  Metrics vs ground-truth audio "
-        "(utils/audio/quality.py); mean +- std over "
-        f"{len(ours)}/{len(ref)} items.",
+        f"Both frameworks trained to **{args.steps} optimizer steps** on the "
+        "same binarized corpus (identical batching economics), then "
+        "synthesized the same test split; every metric is pred-vs-GROUND-"
+        "TRUTH with the same scorer (utils/audio/quality.py: DCT-II "
+        "mel-cepstra MCD excluding c0, masked mel-L1, f0-RMSE in cents and "
+        "V/UV error over jointly-voiced frames).",
         "",
-        "| metric | visinger_tpu (JAX/TPU-trained) | torch reference "
-        "(CPU-trained) | delta |",
-        "|---|---|---|---|",
+        f"- ours: `{args.ours}`",
+        f"- torch: `{args.torch_fn}`",
     ]
-    for key, label in METRICS:
-        mo, do = so[key]
-        mr, dr = sr[key]
-        note = " (TPU vs CPU hw)" if key == "rtf" else ""
-        lines.append(f"| {label} | {mo:.3f} +- {do:.3f} | {mr:.3f} +- "
-                     f"{dr:.3f} | {mo - mr:+.3f}{note} |")
-    lines += ["", "Sources: " f"`{args.ours}`, `{args.torch_fn}`."]
-    if args.notes:
-        lines += ["", args.notes]
+    if args.note:
+        lines += [f"- note: {args.note}"]
+    lines += [
+        "",
+        "| item | MCD ours | MCD torch | mel-L1 ours | mel-L1 torch | "
+        "f0-RMSE¢ ours | f0-RMSE¢ torch | V/UV ours | V/UV torch |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for i, (a, b) in enumerate(zip(ours, torch_r)):
+        lines.append(
+            f"| {i} | {a['mcd']:.2f} | {b['mcd']:.2f} | {a['mel_l1']:.3f} | "
+            f"{b['mel_l1']:.3f} | {a['f0_rmse_cents']:.0f} | "
+            f"{b['f0_rmse_cents']:.0f} | {a['vuv_error']:.3f} | "
+            f"{b['vuv_error']:.3f} |")
+    lines.append(
+        "| **mean** | **{:.2f}** | **{:.2f}** | **{:.3f}** | **{:.3f}** | "
+        "**{:.0f}** | **{:.0f}** | **{:.3f}** | **{:.3f}** |".format(
+            _mean(ours, "mcd"), _mean(torch_r, "mcd"),
+            _mean(ours, "mel_l1"), _mean(torch_r, "mel_l1"),
+            _mean(ours, "f0_rmse_cents"), _mean(torch_r, "f0_rmse_cents"),
+            _mean(ours, "vuv_error"), _mean(torch_r, "vuv_error")))
+    lines += [
+        "",
+        "Per-item spread at these step counts is large (few-hundred-step "
+        "GAN checkpoints on a tiny corpus); the comparison is the MEANS — "
+        "deltas within the item-to-item spread = parity.",
+    ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
+    print(f"| wrote {args.out}")
+    for m in METRICS:
+        print(f"|   {m}: ours {_mean(ours, m):.3f} vs torch "
+              f"{_mean(torch_r, m):.3f}")
 
 
 if __name__ == "__main__":
