@@ -99,6 +99,32 @@ def test_one_chunk_program_serves_any_length():
         assert synth._chunk_fn._cache_size() == 1
 
 
+def test_chunked_decode_spk_embed_model():
+    """Voice-embedding models: spk_embed conditioning threads through the
+    chunk program (the 1x1 cond conv is pointwise, so chunking stays
+    exact)."""
+    from visinger_tpu.utils.audio.spk_embed import SPK_EMBED_DIM
+
+    cfg = tiny_config(use_spk_embed=True)
+    batch = dict(tiny_batch(cfg, n_frames=128))
+    batch["spk_embed"] = jnp.asarray(
+        np.random.RandomState(0).randn(2, SPK_EMBED_DIM), jnp.float32)
+    model, disc = build_models(cfg, 40, 96, 64)
+    raw = {k: np.asarray(v) for k, v in batch.items()}
+    params_g, _ = init_params(cfg, model, disc, raw)
+    rng = jax.random.PRNGKey(5)
+    out = model.apply(
+        {"params": params_g}, text_tokens=batch["text_tokens"],
+        pitch_tokens=batch["note_pitch"], dur_tokens=batch["note_dur"],
+        mel2ph=batch["mel2ph"], spk_id=batch["spk_ids"],
+        spk_embed=batch["spk_embed"], infer=True, deterministic=True,
+        rngs={"sample": rng})
+    synth = StreamingSynthesizer(cfg, model, chunk_frames=16)
+    wav_stream = synth.synthesize(params_g, batch, rng)
+    np.testing.assert_allclose(np.asarray(wav_stream),
+                               np.asarray(out["wav_out"]), atol=2e-5)
+
+
 def test_halo_is_sufficient_not_vacuous():
     """The analytic halo is tight enough to matter: decoding with halo 0
     must NOT match the full program (otherwise the exactness test above
