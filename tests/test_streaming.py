@@ -90,13 +90,17 @@ def test_one_chunk_program_serves_any_length():
     synth = StreamingSynthesizer(cfg, model, chunk_frames=16)
     h = cfg.hidden_size
     window = synth.chunk + 2 * synth.halo
+    size_after_first = None
     for t in (window + 10, 128, 173):
         z = jnp.asarray(np.random.RandomState(t).randn(1, t, h), jnp.float32)
         mask = jnp.ones((1, t, 1), jnp.float32)
         wav = synth.decode(params_g, z, mask)
         assert wav.shape == (1, t * cfg.hop_size)
-    if hasattr(synth._chunk_fn, "_cache_size"):
-        assert synth._chunk_fn._cache_size() == 1
+        if hasattr(synth._chunk_fn, "_cache_size"):
+            if size_after_first is None:
+                size_after_first = synth._chunk_fn._cache_size()
+            else:  # later lengths must not add compilations
+                assert synth._chunk_fn._cache_size() == size_after_first
 
 
 def test_chunked_decode_spk_embed_model():
