@@ -130,6 +130,28 @@ def test_infer_sp_matches_plain(midi_corpus, tmp_path):
     assert np.abs(wa - wb).max() <= 2  # int16 LSB noise
 
 
+def test_infer_stream_matches_plain(midi_corpus, tmp_path):
+    """stream_infer: true through the VISingerInfer surface produces the
+    same waveform as the plain full-length infer program (same seed —
+    the prior stage draws the identical sample key; the chunked decode
+    is sample-exact, tests/test_streaming.py)."""
+    cfg, raw = midi_corpus
+    inf = _build_infer(cfg)
+    midi_fn = os.path.join(raw, "midi", "song_001.mid")
+    a = str(tmp_path / "plain.wav")
+    inf.to_file(midi_fn, a)
+
+    inf_stream = VISingerInfer(cfg.replace(stream_infer=True), inf.params_g)
+    assert getattr(inf_stream, "_streamer", None) is not None
+    b = str(tmp_path / "stream.wav")
+    inf_stream.to_file(midi_fn, b)
+
+    wa = np.frombuffer(open(a, "rb").read()[44:], np.int16).astype(np.float32)
+    wb = np.frombuffer(open(b, "rb").read()[44:], np.int16).astype(np.float32)
+    assert len(wa) == len(wb)
+    assert np.abs(wa - wb).max() <= 2  # int16 LSB noise
+
+
 def test_synthesize_batch_matches_single(midi_corpus, tmp_path):
     """Batched serving: bucket-grouped synthesis of a directory equals the
     per-file path item for item (same params, same seed -> same RNG per

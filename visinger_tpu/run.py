@@ -157,6 +157,8 @@ def cmd_infer(args):
     if not args.midi and not args.midi_dir:
         raise SystemExit("infer requires --midi <file> or --midi_dir <dir>")
     cfg = _resolve_config(args, persist=False)
+    if getattr(args, "stream", False):
+        cfg = cfg.replace(stream_infer=True)
     data_dir = cfg.binary_data_dir
     enc = build_token_encoder(f"{data_dir}/phone_set.json")
     with open(f"{data_dir}/pitch_map.json") as f:
@@ -326,6 +328,10 @@ def main(argv=None):
             sp.add_argument("--out", default="out.wav")
             sp.add_argument("--out_dir", default="")
             sp.add_argument("--pitch_control", type=int, default=0)
+            sp.add_argument("--stream", action="store_true",
+                            help="chunked streaming decode: one fixed-shape "
+                                 "program for any score length "
+                                 "(infer/streaming.py; = stream_infer: true)")
         if name == "synth-data":
             sp.add_argument("--n_items", type=int, default=0,
                             help="0 = from config synth_n_items (default 12)")
