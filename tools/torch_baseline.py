@@ -283,11 +283,16 @@ def mode_jax_step(warmup: int, iters: int):
 
 
 def mode_train(n_steps: int, out_fn: str, data_dir: str,
-               config: str | None = None, save_ckpt: str | None = None):
+               config: str | None = None, save_ckpt: str | None = None,
+               ckpt_every: int = 500, ladder: bool = False):
     """Reference training on OUR binarized corpus; JSONL losses for
     loss-curve parity (PARITY.md).  ``--save_ckpt x.pt`` checkpoints the
-    torch model (every 500 steps + at the end) so `synth` can render the
-    test split for the quality-parity table."""
+    torch model (every ``ckpt_every`` steps + at the end) so `synth` can
+    render the test split for the quality-parity table.  ``--ladder``
+    additionally keeps EVERY periodic checkpoint as ``x_step{N}.pt``
+    (with optimizer state) and resumes from the newest one on restart —
+    round-4's lesson was that single rotated checkpoints cost a 4-hour
+    retrain (VERDICT.md weak #2)."""
     if config:
         from visinger_tpu.config import load_config
 
@@ -320,16 +325,40 @@ def mode_train(n_steps: int, out_fn: str, data_dir: str,
 
     ds = VISingerDataset(cfg, "train")
     step = 0
+    base = save_ckpt[:-3] if save_ckpt and save_ckpt.endswith(".pt") else save_ckpt
 
     def _save(tag=""):
         if not save_ckpt:
             return
-        torch.save({"model": model.state_dict(), "disc": disc.state_dict(),
-                    "step": step}, save_ckpt + ".part")
+        payload = {"model": model.state_dict(), "disc": disc.state_dict(),
+                   "step": step}
+        if ladder:
+            payload["opt_g"] = opt_g.state_dict()
+            payload["opt_d"] = opt_d.state_dict()
+        torch.save(payload, save_ckpt + ".part")
         os.replace(save_ckpt + ".part", save_ckpt)
+        if ladder and step > 0:
+            fn = f"{base}_step{step:06d}.pt"
+            torch.save(payload, fn + ".part")
+            os.replace(fn + ".part", fn)
         print(f"| saved {save_ckpt} @ step {step}{tag}")
 
-    with open(out_fn, "w") as f:
+    log_mode = "w"
+    if ladder and save_ckpt:
+        import glob
+
+        prior = sorted(glob.glob(f"{base}_step*.pt"))
+        if prior:
+            ck = torch.load(prior[-1], map_location="cpu")
+            model.load_state_dict(ck["model"])
+            disc.load_state_dict(ck["disc"])
+            opt_g.load_state_dict(ck["opt_g"])
+            opt_d.load_state_dict(ck["opt_d"])
+            step = int(ck["step"])
+            log_mode = "a"
+            print(f"| resumed from {prior[-1]} (step {step})")
+
+    with open(out_fn, log_mode) as f:
         while step < n_steps:
             for raw in ds.batches(seed=step, pad_to_max_sentences=False):
                 if step >= n_steps:
@@ -349,7 +378,7 @@ def mode_train(n_steps: int, out_fn: str, data_dir: str,
                     print(f"| torch step {step}: " + ", ".join(
                         f"{k}={v:.2f}" for k, v in sorted(losses.items())
                         if k not in ("step",)))
-                if step % 500 == 0:
+                if step % ckpt_every == 0:
                     _save()
     _save(" (final)")
     print(f"| wrote {out_fn}")
@@ -441,6 +470,8 @@ if __name__ == "__main__":
     ap.add_argument("--data_dir", default="data/binary/synth")
     ap.add_argument("--config", default="")
     ap.add_argument("--save_ckpt", default="")
+    ap.add_argument("--ckpt_every", type=int, default=500)
+    ap.add_argument("--ladder", action="store_true")
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--out_dir", default="/tmp/torch_synth")
     ap.add_argument("--split", default="test")
@@ -453,4 +484,4 @@ if __name__ == "__main__":
         mode_synth(args.ckpt, args.out_dir, args.config or None, args.split)
     else:
         mode_train(args.steps, args.out, args.data_dir, args.config or None,
-                   args.save_ckpt or None)
+                   args.save_ckpt or None, args.ckpt_every, args.ladder)

@@ -45,11 +45,15 @@ class VISinger(nn.Module):
         cfg = self.cfg
         h = cfg.hidden_size
         dtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
+        # attention lowering for every relative-position encoder stack:
+        # "legacy" | "einsum" | "pallas" (modules/transformer.py docstring;
+        # A/B'd in tools/ab_r5.py)
+        attn_impl = str(cfg.get("attn_impl", "legacy"))
         self.text_encoder = TextEncoder(
             self.ph_vocab, self.pitch_vocab, self.dur_vocab, h,
             cfg.ffn_filter_channels, cfg.num_heads, cfg.enc_layers,
             cfg.ffn_kernel_size, cfg.p_dropout, use_pos_embed=True,
-            dtype=dtype)
+            dtype=dtype, attn_impl=attn_impl)
         if cfg.use_spk_id:
             self.spk_id_proj = nn.Embed(
                 cfg.num_spk, cfg.gin_channels,
@@ -60,15 +64,16 @@ class VISinger(nn.Module):
             self.pitch_predictor = PitchPredictor(
                 h, cfg.ffn_filter_channels, cfg.num_heads,
                 cfg.pitch_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout,
-                dtype=dtype)
+                dtype=dtype, attn_impl=attn_impl)
         if cfg.use_phoneme_pred:
             self.phoneme_predictor = PhonemePredictor(
                 self.ph_vocab, h, cfg.ffn_filter_channels, cfg.num_heads,
                 cfg.phoneme_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout,
-                dtype=dtype)
+                dtype=dtype, attn_impl=attn_impl)
         self.frame_prior = FramePriorNetwork(
             h, cfg.ffn_filter_channels, cfg.num_heads, cfg.frame_prior_layers,
-            cfg.ffn_kernel_size, cfg.p_dropout, dtype=dtype)
+            cfg.ffn_kernel_size, cfg.p_dropout, dtype=dtype,
+            attn_impl=attn_impl)
         # use_pallas routes the WaveNet stacks (posterior + flow couplings)
         # through the fused Pallas kernel on eval/inference applies
         # (modules/wavenet.py; A/B numbers in tools/pallas_bench.py)

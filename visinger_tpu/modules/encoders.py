@@ -45,6 +45,7 @@ class TextEncoder(nn.Module):
     p_dropout: float
     use_pos_embed: bool = True
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "legacy"
 
     @nn.compact
     def __call__(self, text_tokens, pitch_tokens, dur_tokens, mel2ph,
@@ -80,6 +81,7 @@ class TextEncoder(nn.Module):
         x = x * nonpadding
         x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
                             self.kernel_size, self.p_dropout, dtype=self.dtype,
+                            attn_impl=self.attn_impl,
                             name="encoder")(x, nonpadding, deterministic=deterministic)
         return expand_states(x, mel2ph)
 
@@ -95,12 +97,14 @@ class FramePriorNetwork(nn.Module):
     kernel_size: int
     p_dropout: float
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "legacy"
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, deterministic: bool = True):
         h = self.hidden_channels
         x = RelativeEncoder(h, self.filter_channels, self.n_heads, self.n_layers,
                             self.kernel_size, self.p_dropout, dtype=self.dtype,
+                            attn_impl=self.attn_impl,
                             name="encoder")(x, x_mask, g=g, deterministic=deterministic)
         stats = Conv1d(2 * h, 1, dtype=self.dtype, name="proj")(x) \
             * x_mask.astype(self.dtype)
@@ -156,12 +160,14 @@ class PitchPredictor(nn.Module):
     kernel_size: int
     p_dropout: float
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "legacy"
 
     @nn.compact
     def __call__(self, x, x_mask, spk_emb=None, deterministic: bool = True):
         x = RelativeEncoder(self.hidden_channels, self.filter_channels,
                             self.n_heads, self.n_layers, self.kernel_size,
-                            self.p_dropout, dtype=self.dtype, name="encoder")(
+                            self.p_dropout, dtype=self.dtype,
+                            attn_impl=self.attn_impl, name="encoder")(
                                 x, x_mask, g=spk_emb, deterministic=deterministic)
         return Conv1d(2, 1, dtype=self.dtype,
                       name="linear")(x).astype(jnp.float32)
@@ -178,12 +184,14 @@ class PhonemePredictor(nn.Module):
     kernel_size: int
     p_dropout: float
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "legacy"
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
         x = RelativeEncoder(self.hidden_channels, self.filter_channels,
                             self.n_heads, self.n_layers, self.kernel_size,
-                            self.p_dropout, dtype=self.dtype, name="encoder")(
+                            self.p_dropout, dtype=self.dtype,
+                            attn_impl=self.attn_impl, name="encoder")(
                                 x, x_mask, deterministic=deterministic)
         logits = Conv1d(self.vocab_size, 1, dtype=self.dtype, name="ph_proj")(x)
         # CTC numerics in f32

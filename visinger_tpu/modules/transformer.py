@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from visinger_tpu.modules.common import ChannelLayerNorm, Conv1d
+from typing import Callable
+
+from visinger_tpu.modules.common import (ChannelLayerNorm, Conv1d,
+                                         torch_bias_init, torch_kernel_init)
 
 
 def _band_edge_mask(t: int, window: int) -> jax.Array:
@@ -69,37 +72,159 @@ def dense_to_band(p: jax.Array, window: int) -> jax.Array:
     return jnp.where(_band_edge_mask(t, w), band, 0.0)
 
 
+class _HeadPackedProj(nn.Module):
+    """1x1 projection emitting head-major 128-lane-packed channels.
+
+    Declares the SAME parameters as ``Conv1d(features, 1)`` (kernel
+    [1, C, F], bias [F]; identical names, shapes and initializers, so
+    checkpoints are interchangeable with the legacy attention path) but
+    zero-pads each head's d_k weight columns up to 128 lanes at apply time
+    — the Pallas attention kernel then reads head h as an aligned lane slab
+    with no transpose/reshape anywhere in the layer."""
+
+    features: int
+    n_heads: int
+    kernel_init: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from visinger_tpu.ops.pallas.attention_kernel import LANE
+
+        c = x.shape[-1]
+        w = self.param("kernel", self.kernel_init, (1, c, self.features))
+        bias = self.param("bias", torch_bias_init(c), (self.features,))
+        dk = self.features // self.n_heads
+        w2 = w[0].reshape(c, self.n_heads, dk)
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, LANE - dk)))
+        w2 = w2.reshape(c, self.n_heads * LANE)
+        b2 = jnp.pad(bias.reshape(self.n_heads, dk),
+                     ((0, 0), (0, LANE - dk))).reshape(-1)
+        return jnp.einsum("btc,cd->btd", x.astype(self.dtype),
+                          w2.astype(self.dtype)) + b2.astype(self.dtype)
+
+
+class _HeadPackedOutProj(nn.Module):
+    """Output 1x1 projection consuming head-major 128-lane-packed input.
+
+    Same parameters as ``Conv1d(channels, 1)`` on the unpacked [B, T, C]
+    input; the padded lanes map to zero weight rows, so the packed apply is
+    exactly the legacy projection."""
+
+    channels: int
+    n_heads: int
+    kernel_init: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_packed: jax.Array) -> jax.Array:
+        from visinger_tpu.ops.pallas.attention_kernel import LANE
+
+        c = self.channels  # the legacy conv_o has in C == out C
+        w = self.param("kernel", self.kernel_init, (1, c, self.channels))
+        bias = self.param("bias", torch_bias_init(c), (self.channels,))
+        dk = c // self.n_heads
+        w2 = w[0].reshape(self.n_heads, dk, self.channels)
+        w2 = jnp.pad(w2, ((0, 0), (0, LANE - dk), (0, 0)))
+        w2 = w2.reshape(self.n_heads * LANE, self.channels)
+        return jnp.einsum("btc,cd->btd", x_packed.astype(self.dtype),
+                          w2.astype(self.dtype)) + bias.astype(self.dtype)
+
+
 class RelativeMultiHeadAttention(nn.Module):
-    """Self-attention with shared relative key/value embeddings (±window)."""
+    """Self-attention with shared relative key/value embeddings (±window).
+
+    ``attn_impl`` picks the lowering (identical math and parameters):
+      - "legacy": [B,H,T,dk] split-head einsums + skew-trick band
+        (round-1..4 path; the split/merge transposes and [B,H,T,T]
+        reshapes showed up as ~10 ms/step of data formatting in the
+        round-4 profile)
+      - "einsum": transpose-free [B,T,H,dk] einsums — contractions carry
+        the head dim as a batch axis so XLA folds the layout change into
+        the matmuls instead of emitting copy ops
+      - "pallas": fused TPU kernel (ops/pallas/attention_kernel.py);
+        scores/softmax/band/dropout never leave VMEM
+    """
 
     channels: int
     n_heads: int
     window_size: int = 4
     p_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "legacy"
 
     @nn.compact
-    def __call__(self, x: jax.Array, attn_mask: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, x_mask: jax.Array, deterministic: bool = True) -> jax.Array:
+        """x: [B, T, C]; x_mask: [B, T, 1] per-frame validity."""
         b, t, c = x.shape
         h, w = self.n_heads, self.window_size
         dk = c // h
         assert c % h == 0
-
+        scale = 1.0 / math.sqrt(dk)
         xavier = nn.initializers.xavier_uniform()
+        rel_init = nn.initializers.normal(stddev=dk ** -0.5)
+
+        if self.attn_impl == "pallas":
+            from visinger_tpu.ops.pallas.attention_kernel import rel_attention
+
+            q = _HeadPackedProj(c, h, xavier, self.dtype, name="conv_q")(x)
+            k = _HeadPackedProj(c, h, xavier, self.dtype, name="conv_k")(x)
+            v = _HeadPackedProj(c, h, xavier, self.dtype, name="conv_v")(x)
+            emb_rel_k = self.param("emb_rel_k", rel_init, (2 * w + 1, dk))
+            emb_rel_v = self.param("emb_rel_v", rel_init, (2 * w + 1, dk))
+            dropping = self.p_dropout > 0 and not deterministic
+            if dropping:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = None
+            out = rel_attention(
+                q, k, v, emb_rel_k, emb_rel_v, x_mask[:, :, 0], window=w,
+                scale=scale, dropout_rate=float(self.p_dropout), seed=seed,
+                deterministic=not dropping)
+            return _HeadPackedOutProj(self.channels, h, torch_kernel_init,
+                                      self.dtype, name="conv_o")(
+                                          out.astype(self.dtype))
+
+        attn_mask = x_mask[:, :, 0][:, :, None] * x_mask[:, :, 0][:, None, :]
         q = Conv1d(c, 1, kernel_init=xavier, dtype=self.dtype, name="conv_q")(x)
         k = Conv1d(c, 1, kernel_init=xavier, dtype=self.dtype, name="conv_k")(x)
         v = Conv1d(c, 1, kernel_init=xavier, dtype=self.dtype, name="conv_v")(x)
 
         # heads_share=True: one [2w+1, dk] table for all heads.
-        rel_init = nn.initializers.normal(stddev=dk ** -0.5)
         emb_rel_k = self.param("emb_rel_k", rel_init, (2 * w + 1, dk))
         emb_rel_v = self.param("emb_rel_v", rel_init, (2 * w + 1, dk))
+
+        if self.attn_impl == "einsum":
+            # transpose-free: keep [B, T, H, dk]; the head axis rides the
+            # einsum batch dims, so no split/merge copies are emitted
+            qh = q.reshape(b, t, h, dk)
+            kh = k.reshape(b, t, h, dk)
+            vh = v.reshape(b, t, h, dk)
+            scores = jnp.einsum("bihd,bjhd->bhij", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            rel = jnp.einsum("bihd,md->bhim", qh, emb_rel_k,
+                             preferred_element_type=jnp.float32) * scale
+            scores = scores + band_to_dense(rel, w)
+            scores = jnp.where(attn_mask[:, None] > 0, scores, -1e4)
+            p_attn = jax.nn.softmax(scores, axis=-1)
+            p_attn = nn.Dropout(self.p_dropout)(p_attn,
+                                                deterministic=deterministic)
+            p_attn = p_attn.astype(self.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", p_attn, vh,
+                             preferred_element_type=jnp.float32)
+            w_rel = dense_to_band(p_attn, w)
+            out = out + jnp.einsum("bhim,md->bihd", w_rel, emb_rel_v,
+                                   preferred_element_type=jnp.float32)
+            out = out.reshape(b, t, c).astype(self.dtype)
+            return Conv1d(self.channels, 1, dtype=self.dtype,
+                          name="conv_o")(out)
 
         def split_heads(a):
             return a.reshape(b, t, h, dk).transpose(0, 2, 1, 3)  # [B,H,T,dk]
 
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-        scale = 1.0 / math.sqrt(dk)
         scores = jnp.einsum("bhid,bhjd->bhij", qh, kh,
                             preferred_element_type=jnp.float32) * scale
 
@@ -159,6 +284,7 @@ class RelativeEncoder(nn.Module):
     p_dropout: float = 0.0
     window_size: int = 4
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "legacy"
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: jax.Array, g: jax.Array | None = None,
@@ -166,7 +292,6 @@ class RelativeEncoder(nn.Module):
         """x: [B, T, C]; x_mask: [B, T, 1]; g: [B, 1|T, gin] or None."""
         x = x.astype(self.dtype)
         x_mask = x_mask.astype(self.dtype)
-        attn_mask = x_mask[:, :, 0][:, :, None] * x_mask[:, :, 0][:, None, :]
         if g is not None:
             g = Conv1d(self.hidden_channels, 1, dtype=self.dtype,
                        name="pre_net")(g.astype(self.dtype))
@@ -177,8 +302,8 @@ class RelativeEncoder(nn.Module):
             x = x * x_mask
             y = RelativeMultiHeadAttention(
                 self.hidden_channels, self.n_heads, self.window_size,
-                self.p_dropout, dtype=self.dtype,
-                name=f"attn_{i}")(x, attn_mask, deterministic)
+                self.p_dropout, dtype=self.dtype, attn_impl=self.attn_impl,
+                name=f"attn_{i}")(x, x_mask, deterministic)
             y = drop(y, deterministic=deterministic)
             x = ChannelLayerNorm(name=f"norm1_{i}")(x + y)
             y = ConvFFN(self.hidden_channels, self.filter_channels,
