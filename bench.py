@@ -20,12 +20,16 @@ through the donated state, so the readback waits for the whole chain.  A
 roofline assert refuses to record any number whose implied TF/s exceeds the
 chip peak.
 
-Default shape is B=16 x T=640: the per-chip throughput knee measured by a
-same-process sweep (B=4: 36.0k, B=8: 61.6k, B=16: 70.4k, B=32: 71.8k
-mel-frames/s in one mid-tier tunnel slot — artifacts/bench_scaling.jsonl).
-B=16/chip runs the reference recipe's GLOBAL batch (max_sentences 4 x 16
-GPUs = 64, config/models/visinger.yaml:94) on 4 chips instead of 16 GPUs;
-BENCH_BATCH=4 reproduces the per-device recipe shape.
+Default shape is B=32 x T=640: with the round-5 Pallas attention default
+the throughput knee moved up a batch size (same-slot A/B,
+artifacts/parity/ab_r5.jsonl: pallas B=16 110.3k vs B=32 136.0k
+mel-frames/s — the fused kernel keeps scaling where the legacy path
+plateaued at B=16: round-4 sweep B=4: 36.0k, B=8: 61.6k, B=16: 70.4k,
+B=32: 71.8k, artifacts/bench_scaling.jsonl).  B=32/chip runs the reference
+recipe's GLOBAL batch (max_sentences 4 x 16 GPUs = 64,
+config/models/visinger.yaml:94) on TWO chips instead of 16 GPUs;
+BENCH_BATCH=4 reproduces the per-device recipe shape, BENCH_BATCH=16 the
+round-3/4 bench shape.
 
 vs_baseline denominator (the reference publishes no numbers, BASELINE.md):
 MEASURED on this machine with tools/torch_baseline.py, which runs the ACTUAL
@@ -188,7 +192,7 @@ def main():
 
     if os.environ.get("BENCH_MODE") == "rtf":
         return bench_rtf()
-    batch_size = int(os.environ.get("BENCH_BATCH", 16))
+    batch_size = int(os.environ.get("BENCH_BATCH", 32))
     n_frames = int(os.environ.get("BENCH_FRAMES", 640))
     n_tokens = int(os.environ.get("BENCH_TOKENS", 192))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))

@@ -172,3 +172,25 @@ def test_pallas_dropout_deterministic_and_rate():
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(v)))
                for v in jax.tree_util.tree_leaves(g))
+
+
+def test_pallas_attention_under_dp_sharding():
+    """The kernel composes with data-parallel pjit: batch sharded P('data')
+    over the 8-device mesh, params replicated — output matches the
+    unsharded apply (multi-chip training runs the kernel inside the DP
+    train step)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    x, mask, enc, params = _setup(b=8)
+    e = enc("pallas")
+    ref = e.apply({"params": params}, x, mask)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    data, repl = NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
+    f = jax.jit(lambda p, a, m: e.apply({"params": p}, a, m),
+                in_shardings=(repl, data, data), out_shardings=data)
+    out = f(jax.device_put(params, repl), jax.device_put(x, data),
+            jax.device_put(mask, data))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

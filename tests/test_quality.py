@@ -107,3 +107,20 @@ def test_mcd_from_mels_known_value():
     got = mcd_from_mels(mel_ref, mel_syn)
     expect = 10 * np.sqrt(2) / np.log(10) * delta
     np.testing.assert_allclose(got, expect, rtol=1e-8)
+
+
+def test_mcd_silence_gate_drops_floor_frames():
+    """Frames where the reference sits at the log floor dominate ungated
+    MCD (several nats per bin against any non-silent synthesis); the gate
+    excludes them, leaving the voiced-frame distortion."""
+    rng = np.random.RandomState(5)
+    n_mels = 32
+    voiced = rng.randn(40, n_mels) * 0.5 + 2.0
+    silent = np.full((40, n_mels), np.log(1e-3))
+    mel_ref = np.concatenate([voiced, silent])
+    # synthesis: perfect on voiced frames, noisy where the ref is silent
+    mel_syn = np.concatenate([voiced, silent + rng.rand(40, n_mels) * 3.0])
+    ungated = mcd_from_mels(mel_ref, mel_syn)
+    gated = mcd_from_mels(mel_ref, mel_syn, silence_gate_db=20.0)
+    assert ungated > 1.0          # the floor frames dominate
+    assert gated < 1e-9           # voiced frames are identical

@@ -91,7 +91,9 @@ def test_one_chunk_program_serves_any_length():
     h = cfg.hidden_size
     window = synth.chunk + 2 * synth.halo
     size_after_first = None
-    for t in (window + 10, 128, 173):
+    # includes SHORT scores (t <= window): they pad up to the one window
+    # shape instead of compiling per distinct length (round-4 ADVICE)
+    for t in (window + 10, 128, 173, window - 3, window // 2):
         z = jnp.asarray(np.random.RandomState(t).randn(1, t, h), jnp.float32)
         mask = jnp.ones((1, t, 1), jnp.float32)
         wav = synth.decode(params_g, z, mask)

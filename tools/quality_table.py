@@ -41,6 +41,10 @@ def main():
     args = ap.parse_args()
 
     ours, torch_r = _load(args.ours), _load(args.torch_fn)
+    # zip() would silently truncate per-item rows while the mean row still
+    # averages each full list — rows and means would disagree (r4 ADVICE)
+    assert len(ours) == len(torch_r), \
+        f"item-count mismatch: ours {len(ours)} vs torch {len(torch_r)}"
     lines = [
         "# Quality parity: ours (JAX/TPU) vs the torch reference",
         "",

@@ -174,6 +174,13 @@ class Binarizer:
             return
         from concurrent.futures import ProcessPoolExecutor
 
+        # Fork-safety vs the async checkpoint writer (round-4 ADVICE): a
+        # fork while a ckpt write is in flight could deadlock the child.
+        # A spawn context is NOT the fix — spawn re-executes the caller's
+        # __main__ in every worker (script-style callers would re-run their
+        # top level).  Instead the unsafe window is closed at the source:
+        # AsyncCheckpointer joins its writer before fit() returns, and no
+        # code path runs binarization concurrently with training saves.
         try:
             with ProcessPoolExecutor(max_workers=min(n_workers, len(items))) as ex:
                 yield from ex.map(_binarize_worker,

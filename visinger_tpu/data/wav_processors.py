@@ -70,16 +70,69 @@ class LoudNormProcessor(BaseWavProcessor):
         return wav.astype(np.float32), sr
 
 
+def _otsu_split(values: np.ndarray) -> tuple[float, float]:
+    """Two-class threshold maximizing between-class variance; returns
+    (threshold, class-mean gap).  Exhaustive over sorted midpoints — the
+    per-file window count is small."""
+    v = np.sort(values)
+    n = len(v)
+    best_thr, best_sep, best_gap = v[0] - 1.0, -1.0, 0.0
+    csum = np.cumsum(v)
+    total = csum[-1]
+    for i in range(1, n):
+        w0, w1 = i / n, (n - i) / n
+        mu0, mu1 = csum[i - 1] / i, (total - csum[i - 1]) / (n - i)
+        sep = w0 * w1 * (mu1 - mu0) ** 2
+        if sep > best_sep:
+            best_sep, best_thr, best_gap = sep, (v[i - 1] + v[i]) / 2, mu1 - mu0
+    return best_thr, best_gap
+
+
 def _energy_vad_flags(wav16: np.ndarray, samples_per_window: int
                       ) -> np.ndarray:
     """Per-10ms-window voiced flags — the webrtcvad.Vad(mode=3) stand-in
-    (package absent): adaptive dual-threshold energy detector over the
-    same 10 ms windows the reference feeds webrtcvad (vad.py:53-75)."""
+    (package absent): Otsu two-class split on window energies (dB) over
+    the same 10 ms windows the reference feeds webrtcvad (vad.py:53-75).
+    When the energy histogram is unimodal (class-mean gap < 8 dB — no
+    silence present, e.g. continuous singing), everything is voiced; a
+    fixed floor-offset rule instead silently dropped uniformly-loud files
+    (caught by tests/test_vocoder_wavproc.py::TestVadStandInValidation)."""
     n = len(wav16) // samples_per_window
     x = wav16[: n * samples_per_window].reshape(n, samples_per_window)
     e_db = 10 * np.log10(np.mean(np.square(x), axis=1) + 1e-10)
-    floor = np.percentile(e_db, 10)
-    return e_db > floor + 10.0
+    thr, gap = _otsu_split(e_db)
+    if gap < 8.0:
+        return np.ones(n, bool)
+    return e_db > thr
+
+
+def trim_mask_from_flags(flags: np.ndarray, max_sil: int,
+                         samples_per_window: int, out_len: int) -> np.ndarray:
+    """Per-window voiced flags -> per-raw-sample keep mask, reproducing the
+    reference post-VAD pipeline exactly (vad.py:77-91): moving average
+    width 8, round to bool, binary dilation by ``max_sil + 1`` windows,
+    repeat to 16 kHz samples, resize to the raw-rate length.
+
+    Split out so tests can drive it with ORACLE flags (ground-truth speech
+    labels of constructed signals) and measure how far the energy-VAD
+    stand-in's decisions diverge from the reference pipeline's intent."""
+    flags = np.asarray(flags, float)
+    width = 8
+    padded = np.concatenate([np.zeros((width - 1) // 2), flags,
+                             np.zeros(width // 2)])
+    csum = np.cumsum(padded)
+    avg = (csum[width - 1:] - np.concatenate([[0.0], csum[:-width]])) / width
+    mask = np.round(avg).astype(bool)
+    # binary dilation with a (max_sil+1)-wide structuring element
+    # (vad.py:89: binary_dilation(mask, ones(max_sil + 1)))
+    from scipy.ndimage import binary_dilation
+
+    mask = binary_dilation(mask, np.ones(max_sil + 1, bool))
+    # windows -> 16k samples -> resize to the raw-rate length (vad.py:90-91)
+    mask16 = np.repeat(mask, samples_per_window)
+    idx = np.minimum((np.arange(out_len) * len(mask16))
+                     // max(out_len, 1), len(mask16) - 1)
+    return mask16[idx]
 
 
 @register_wav_processor("trim_sil")
@@ -100,25 +153,8 @@ class TrimSilenceProcessor(BaseWavProcessor):
         wav16 = wav16[: len(wav16) - (len(wav16) % spw)]
         if len(wav16) < spw:
             return wav.astype(np.float32), sr
-        flags = _energy_vad_flags(wav16, spw).astype(float)
-        # moving average width 8 (vad.py:57-85)
-        width = 8
-        padded = np.concatenate([np.zeros((width - 1) // 2), flags,
-                                 np.zeros(width // 2)])
-        csum = np.cumsum(padded)
-        avg = (csum[width - 1:] - np.concatenate([[0.0], csum[:-width]])) \
-            / width
-        mask = np.round(avg).astype(bool)
-        # binary dilation with a (max_sil+1)-wide structuring element
-        # (vad.py:89: binary_dilation(mask, ones(max_sil + 1)))
-        from scipy.ndimage import binary_dilation
-
-        mask = binary_dilation(mask, np.ones(max_sil + 1, bool))
-        # windows -> 16k samples -> resize to the raw-rate length (vad.py:90-91)
-        mask16 = np.repeat(mask, spw)
-        idx = np.minimum((np.arange(len(wav)) * len(mask16))
-                         // max(len(wav), 1), len(mask16) - 1)
-        keep = mask16[idx]
+        flags = _energy_vad_flags(wav16, spw)
+        keep = trim_mask_from_flags(flags, max_sil, spw, len(wav))
         out = wav[keep]
         if len(out) == 0:  # degenerate: keep the original
             return wav.astype(np.float32), sr

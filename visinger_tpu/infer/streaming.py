@@ -166,9 +166,18 @@ class StreamingSynthesizer:
             spk_id = jnp.zeros((b,), jnp.int32)
         window = chunk + 2 * halo
         if t <= window:
-            # short score: the window already covers it — one program at
-            # the score's own length (streaming buys nothing here)
-            return self._chunk_fn(params_g, z_p, mask, spk_embed, spk_id)
+            # Short score: pad up to the ONE window shape (masked frames)
+            # and slice the valid samples out, so direct decode() callers
+            # with unbucketed lengths reuse the same compiled program
+            # instead of compiling per distinct length (round-4 ADVICE).
+            # Boundary semantics: identical to how every static-shape path
+            # (VISingerInfer's frame buckets) treats a score shorter than
+            # its program — masked pad frames beyond t, waveform sliced to
+            # t*hop.
+            zp_p = jnp.pad(z_p, ((0, 0), (0, window - t), (0, 0)))
+            mask_p = jnp.pad(mask, ((0, 0), (0, window - t), (0, 0)))
+            wav = self._chunk_fn(params_g, zp_p, mask_p, spk_embed, spk_id)
+            return wav[:, : t * hop]
         outs = []
         for s in range(0, t, chunk):
             e = min(s + chunk, t)

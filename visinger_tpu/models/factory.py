@@ -16,11 +16,16 @@ from visinger_tpu.training.train_state import TrainState, create_train_state
 def build_models(cfg: Config, ph_vocab: int, pitch_vocab: int, dur_vocab: int):
     model = VISinger(cfg, ph_vocab=ph_vocab, pitch_vocab=pitch_vocab,
                      dur_vocab=dur_vocab)
+    # "disc" in bf16_f32_islands forces the discriminators to f32 (the
+    # bf16 warm-up bisect instrument — see models/visinger.py setup)
+    disc_dtype = jnp.float32 \
+        if "disc" in set(cfg.get("bf16_f32_islands", ()) or ()) \
+        else jnp.dtype(cfg.get("compute_dtype", "float32"))
     disc = MultiPeriodDiscriminator(
         periods=tuple(cfg.disc_periods),
         s_base=int(cfg.get("disc_s_base", 16)),
         p_channels=tuple(cfg.get("disc_p_channels", (32, 128, 512, 1024))),
-        dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
+        dtype=disc_dtype,
         use_spectral_norm=bool(cfg.get("use_spectral_norm", False)),
         grouped_impl=str(cfg.get("grouped_conv_impl", "native")),
         pair_batch=bool(cfg.get("disc_pair_batch", True)))

@@ -45,15 +45,29 @@ class VISinger(nn.Module):
         cfg = self.cfg
         h = cfg.hidden_size
         dtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
+        # bf16_f32_islands: subsystem names forced to f32 compute while the
+        # rest runs compute_dtype — the bisect instrument for the bf16
+        # warm-up gradient transient (round-4 VERDICT weak #5; driven by
+        # tools/bf16_islands.py).  Names: text_encoder, pitch, phoneme,
+        # frame_prior, posterior, flow, decoder.
+        islands = set(cfg.get("bf16_f32_islands", ()) or ())
+
+        def dt(name):
+            return jnp.float32 if name in islands else dtype
         # attention lowering for every relative-position encoder stack:
-        # "legacy" | "einsum" | "pallas" (modules/transformer.py docstring;
-        # A/B'd in tools/ab_r5.py)
-        attn_impl = str(cfg.get("attn_impl", "legacy"))
+        # "auto" | "legacy" | "einsum" | "pallas" (modules/transformer.py
+        # docstring).  auto = the fused Pallas kernel on TPU (1.27x full
+        # train step, artifacts/parity/ab_r5.jsonl), the XLA legacy path on
+        # CPU/GPU where Mosaic kernels cannot compile.
+        attn_impl = str(cfg.get("attn_impl", "auto"))
+        if attn_impl == "auto":
+            attn_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "legacy")
         self.text_encoder = TextEncoder(
             self.ph_vocab, self.pitch_vocab, self.dur_vocab, h,
             cfg.ffn_filter_channels, cfg.num_heads, cfg.enc_layers,
             cfg.ffn_kernel_size, cfg.p_dropout, use_pos_embed=True,
-            dtype=dtype, attn_impl=attn_impl)
+            dtype=dt("text_encoder"), attn_impl=attn_impl)
         if cfg.use_spk_id:
             self.spk_id_proj = nn.Embed(
                 cfg.num_spk, cfg.gin_channels,
@@ -64,15 +78,15 @@ class VISinger(nn.Module):
             self.pitch_predictor = PitchPredictor(
                 h, cfg.ffn_filter_channels, cfg.num_heads,
                 cfg.pitch_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout,
-                dtype=dtype, attn_impl=attn_impl)
+                dtype=dt("pitch"), attn_impl=attn_impl)
         if cfg.use_phoneme_pred:
             self.phoneme_predictor = PhonemePredictor(
                 self.ph_vocab, h, cfg.ffn_filter_channels, cfg.num_heads,
                 cfg.phoneme_predictor_layers, cfg.ffn_kernel_size, cfg.p_dropout,
-                dtype=dtype, attn_impl=attn_impl)
+                dtype=dt("phoneme"), attn_impl=attn_impl)
         self.frame_prior = FramePriorNetwork(
             h, cfg.ffn_filter_channels, cfg.num_heads, cfg.frame_prior_layers,
-            cfg.ffn_kernel_size, cfg.p_dropout, dtype=dtype,
+            cfg.ffn_kernel_size, cfg.p_dropout, dtype=dt("frame_prior"),
             attn_impl=attn_impl)
         # use_pallas routes the WaveNet stacks (posterior + flow couplings)
         # through the fused Pallas kernel on eval/inference applies
@@ -80,13 +94,13 @@ class VISinger(nn.Module):
         use_pallas = bool(cfg.get("use_pallas", False))
         self.posterior_encoder = PosteriorEncoder(
             h, h, cfg.posterior_wn_kernel, 1, cfg.posterior_wn_layers,
-            gin_channels=cfg.gin_channels, dtype=dtype,
+            gin_channels=cfg.gin_channels, dtype=dt("posterior"),
             use_pallas=use_pallas,
             logs_clamp=float(cfg.get("logs_clamp", 0.0) or 0.0))
         self.flow = ResidualCouplingBlock(
             h, h, cfg.flow_wn_kernel, 1, cfg.flow_wn_layers,
             n_flows=cfg.flow_n_flows, gin_channels=cfg.gin_channels,
-            dtype=dtype, use_pallas=use_pallas)
+            dtype=dt("flow"), use_pallas=use_pallas)
         self.decoder = HiFiGANGenerator(
             resblock_type=str(cfg.dec_blocks),
             resblock_kernel_sizes=tuple(cfg.dec_kernel_size),
@@ -96,7 +110,8 @@ class VISinger(nn.Module):
             upsample_kernel_sizes=tuple(cfg.upsample_kernel_sizes),
             gin_channels=cfg.gin_channels,
             time_fold=bool(cfg.get("decoder_time_fold", False)),
-            polyphase=bool(cfg.get("decoder_polyphase", False)), dtype=dtype)
+            polyphase=bool(cfg.get("decoder_polyphase", False)),
+            dtype=dt("decoder"))
 
     def speaker_embedding(self, spk_embed, spk_id):
         """-> [B, 1, gin] or None (models/visinger.py:114-121)."""
