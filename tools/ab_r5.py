@@ -45,6 +45,9 @@ VARIANTS = {
     "pallas-gstack": dict(BF16, attn_impl="pallas",
                           grouped_conv_impl="stack"),
     "fold-only": dict(BF16, attn_impl="legacy", decoder_time_fold=True),
+    # VERDICT r4 #9: the Pallas fused WaveNet stack in the TRAIN path at the
+    # new default shapes (standing negative was fp32/round-2, eval-only).
+    "pallas-wn": dict(BF16, attn_impl="pallas", use_pallas=True),
 }
 
 
