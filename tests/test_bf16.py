@@ -33,6 +33,28 @@ def test_bf16_train_step_close_to_f32():
         assert abs(a - b) <= 0.2 * max(abs(a), abs(b), 1.0), (k, a, b)
 
 
+def test_bf16_f32_islands_route_compute():
+    """`bf16_f32_islands` (the warm-up-transient bisect instrument,
+    tools/bf16_islands.py) must route the named subsystems to f32 compute
+    while the rest of the model stays bf16."""
+    cfg = tiny_config(compute_dtype="bfloat16",
+                      bf16_f32_islands=("phoneme", "disc"))
+    model, disc = build_models(cfg, 40, 96, 64)
+    # disc island is applied at build time (models/factory.py)
+    assert disc.dtype == jnp.float32
+    model_no, disc_no = build_models(
+        cfg.replace(bf16_f32_islands=()), 40, 96, 64)
+    assert disc_no.dtype == jnp.bfloat16
+    # generator islands are applied in VISinger.setup (dt()); visible on a
+    # bound module's submodules
+    batch = tiny_batch(cfg)
+    state = init_state(cfg, model, disc, batch)
+    bound = model.bind({"params": state.params_g})
+    assert bound.phoneme_predictor.dtype == jnp.float32
+    assert bound.text_encoder.dtype == jnp.bfloat16
+    assert bound.decoder.dtype == jnp.bfloat16
+
+
 def test_bf16_flow_invertibility():
     from visinger_tpu.modules.flow import ResidualCouplingBlock
 

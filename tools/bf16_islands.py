@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ISLANDS = ["none", "disc", "decoder", "posterior", "flow", "pitch",
-           "frame_prior", "text_encoder", "fp32"]
+           "phoneme", "frame_prior", "text_encoder", "fp32"]
 
 
 def settle_step(gnorms: list[tuple[int, float]], thresh: float = 2000.0,

@@ -15,7 +15,12 @@ STREAM2_WORKDIR=checkpoints/soak_r5 STREAM2_SECONDS=50 \
 tail -3 artifacts/r5_stream2_tpu.log || true
 
 echo "== bf16 island bisect =="
-ISLANDS=none,disc,decoder,posterior,fp32 ISLAND_STEPS=1200 \
+# Loss TRAJECTORIES (unlike timings) are slot-independent, so the bf16
+# baseline and fp32 anchors come from the recorded runs
+# (artifacts/parity/bf16_run_2500.md: bf16 settles ~step 1100, fp32 ~200)
+# — only the candidate islands need fresh programs.  CTC/phoneme is the
+# prime suspect (ctc ~1500 in the transient window).
+ISLANDS=phoneme,disc,decoder ISLAND_STEPS=1500 \
     python tools/bf16_islands.py \
     > artifacts/r5_bf16_islands.log 2>&1 || tail -5 artifacts/r5_bf16_islands.log
 tail -5 artifacts/r5_bf16_islands.log || true
