@@ -226,3 +226,25 @@ def test_concat_dataset_and_dict_consistency(corpus, tmp_path):
         json.dump(pm, f)
     with pytest.raises(ValueError, match="disagree"):
         check_dict_consistency([binary, binary3])
+
+
+def test_cli_train_with_test_after_train(corpus, tmp_path):
+    """`run train` with test_after_train: true scores the test split in the
+    SAME process after fit() (run.py cmd_train) — on remote-compile backends
+    a separate `run test` process would pay every program compile again."""
+    import os
+
+    import yaml
+
+    from visinger_tpu.run import main
+
+    cfg, binary = corpus
+    cfg = cfg.replace(work_dir=str(tmp_path / "exp_cli"), max_sentences=2,
+                      max_updates=2, tb_log_interval=1,
+                      val_check_interval=100, num_sanity_val_steps=0,
+                      save_codes=False, test_after_train=True)
+    cfg_fn = tmp_path / "cfg.yaml"
+    cfg_fn.write_text(yaml.safe_dump(cfg.to_dict()))
+    main(["train", "--config", str(cfg_fn)])
+    out = tmp_path / "exp_cli" / "test_after_train"
+    assert os.path.exists(str(out / "results.json"))

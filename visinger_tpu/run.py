@@ -132,7 +132,19 @@ def cmd_train(args):
                                None if proc_id is None else int(proc_id))
     from visinger_tpu.training.trainer import Trainer
 
-    Trainer(cfg).fit()
+    trainer = Trainer(cfg)
+    state = trainer.fit()
+    # test_after_train: score the test split in the SAME process so the
+    # render/test programs compiled during training are reused — on remote-
+    # compile backends a separate `run test` process pays the full program
+    # compile again (minutes per program; CLAUDE.md).  Mirrors the
+    # reference's train->test flow without a new process.
+    if cfg.get("test_after_train", False):
+        import jax
+
+        if jax.process_index() == 0:
+            out_dir = os.path.join(cfg.work_dir, "test_after_train")
+            trainer.test(state, out_dir=out_dir)
 
 
 def cmd_preprocess(args):
