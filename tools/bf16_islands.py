@@ -79,17 +79,28 @@ def main():
         results.append(rec)
         with open(out_fn, "a") as f:
             f.write(json.dumps(rec) + "\n")
+    # summarize from the FULL jsonl so separate single-island processes
+    # (each a fresh TPU program; see tools/r5_tpu_queue2.sh) compose into
+    # one table
+    all_rows = []
+    with open(out_fn) as f:
+        for line in f:
+            all_rows.append(json.loads(line))
     md = [
         "# bf16 warm-up transient bisect (one f32 island at a time)",
         "",
-        "Parity config, bf16 compute, identical data/seeds, one tunnel "
-        "slot.  settle_step = first logged step with 5 consecutive "
-        "gnorm_g logs < 2000 (fp32 steady ~550).",
+        "Parity config, bf16 compute, identical data/seeds.  settle_step "
+        "= first logged step with 5 consecutive gnorm_g logs < 2000 "
+        "(fp32 steady ~550).  Loss trajectories are tunnel-slot-"
+        "independent, so runs from different processes compose; anchors "
+        "from the recorded long runs: pure bf16 settles ~1100-1800 with "
+        "peak ~1e5 (artifacts/parity/bf16_run_2500.md, the 20k soak), "
+        "pure fp32 settles ~200 (checkpoints/parity_run_r2b, PARITY.md).",
         "",
         "| island forced f32 | peak gnorm | settle step | tail gnorm |",
         "|---|---|---|---|",
     ]
-    for r in results:
+    for r in all_rows:
         md.append(f"| {r['island']} | {r['peak_gnorm']:,.0f} | "
                   f"{r['settle_step']} | {r['tail_gnorm']:,.0f} |")
     with open(out_fn.replace(".jsonl", ".md"), "w") as f:
