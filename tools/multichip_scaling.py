@@ -61,7 +61,10 @@ def main():
     multi = run_bench(dict(base_env, BENCH_BATCH=str(global_b),
                            BENCH_DEVICES="all"),
                       f"DP-{n_dev} global B={global_b}")
-    thr1, thrN = single["value"], multi["value"]
+    thr1 = single["value"]
+    # bench.py reports the DP run per-chip AND global; efficiency compares
+    # the GLOBAL multi throughput to N x single-device
+    thrN = multi.get("global_mel_frames_per_s", n_dev * multi["value"])
     eff = thrN / (n_dev * thr1)
     lines = [
         "# Multi-chip scaling efficiency (DP over the device mesh)",
